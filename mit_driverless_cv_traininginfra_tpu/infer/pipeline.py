@@ -1,0 +1,80 @@
+"""Two-stage perception pipeline: YOLO detect → crop → RektNet keypoints.
+
+The reference runs this split across two ONNX models with host-side crop
+plumbing between them (README.md:59: "RektNet takes in bounding boxes
+outputed from CVC-YOLOv3"). Here the whole frame path is ONE compiled XLA
+program per batch:
+
+    frames ─ Darknet graph ─ decode ─ batched NMS ─ top-K boxes
+           └──────────────────────────────► ROI bilinear gather (80×80)
+                                               └─ RektNet ─ soft-argmax
+                                                       └─ keypoints in frame px
+
+Fixed capacity everywhere: every frame yields exactly ``max_det`` crop slots
+(masked), so there is no recompile and no host sync between the stages —
+the detect boxes are *donated* straight into the keypoint batch in HBM.
+This fusion is the main throughput lever for the ≥2k fps/chip target
+(BASELINE.md north star).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mit_driverless_cv_traininginfra_tpu.config.darknet_cfg import NetworkSpec
+from mit_driverless_cv_traininginfra_tpu.models import rektnet
+from mit_driverless_cv_traininginfra_tpu.models.darknet import detections as yolo_detections
+from mit_driverless_cv_traininginfra_tpu.ops.image import roi_crop_bilinear
+from mit_driverless_cv_traininginfra_tpu.ops.nms import nms
+
+
+class PipelineOut(NamedTuple):
+    boxes: jnp.ndarray      # (B, K, 4) xyxy in frame pixels
+    scores: jnp.ndarray     # (B, K)
+    mask: jnp.ndarray       # (B, K) bool — valid detections
+    keypoints: jnp.ndarray  # (B, K, 7, 2) xy in frame pixels
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "conf_thresh", "nms_thresh", "max_det", "crop_size"),
+)
+def two_stage_pipeline(
+    spec: NetworkSpec,
+    yolo_params,
+    yolo_state,
+    rekt_params,
+    rekt_state,
+    frames,
+    conf_thresh: float = 0.8,
+    nms_thresh: float = 0.25,
+    max_det: int = 16,
+    crop_size: int = 80,
+) -> PipelineOut:
+    """frames: (B, H, W, 3) in [0,1], H/W = spec.net input size."""
+    B = frames.shape[0]
+    dets = yolo_detections(spec, yolo_params, yolo_state, frames)
+
+    def post(d):
+        conf = d[:, 4]
+        xy, wh = d[:, 0:2], d[:, 2:4] / 2
+        corner = jnp.concatenate([xy - wh, xy + wh], axis=1)
+        scores = jnp.where(conf > conf_thresh, conf, -jnp.inf)
+        keep_idx, keep_mask = nms(corner, scores, overlap=nms_thresh, top_k=max_det)
+        return corner[keep_idx], conf[keep_idx], keep_mask
+
+    boxes, scores, mask = jax.vmap(post)(dets)  # (B, K, 4), (B, K), (B, K)
+
+    crops = roi_crop_bilinear(frames, boxes, crop_size, crop_size)
+    flat = crops.reshape(B * max_det, crop_size, crop_size, frames.shape[-1])
+    _, pts, _ = rektnet.apply(rekt_params, rekt_state, flat)
+    pts = pts.reshape(B, max_det, 7, 2)  # in [0,1] crop coords
+
+    x0y0 = boxes[..., None, 0:2]
+    wh_box = (boxes[..., 2:4] - boxes[..., 0:2])[..., None, :]
+    kpts = x0y0 + pts * wh_box
+    return PipelineOut(boxes, scores, mask, kpts)

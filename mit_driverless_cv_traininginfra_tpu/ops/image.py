@@ -1,0 +1,123 @@
+"""On-device image preprocessing: letterbox, resize, ROI crops.
+
+The reference does all of this on the host with PIL/cv2 inside DataLoader
+workers (detect.py:62-75, utils/datasets.py:143-164). Here the hot path is
+XLA: pad/resize/crop run on-chip so inference feeds straight from raw frames
+in HBM with no host round-trip — that, plus the fixed-capacity ROI gather,
+is what lets the two-stage detect→crop→keypoints pipeline stay compiled
+end-to-end.
+
+cv2/PIL parity notes: ``resize_bilinear`` uses half-pixel-centre sampling,
+matching ``cv2.resize(INTER_LINEAR)``; PIL's antialiased downscale differs —
+the host loaders keep PIL semantics for training parity, the device path is
+for serving/bench throughput.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+GREY = 127.0 / 255.0  # the reference's pad fill (127,127,127) in [0,1] scale
+
+
+def pad_to(x, pad_h: int, pad_w: int, fill: float = GREY):
+    """Symmetric constant pad NHWC/HWC on both sides (torchvision F.pad with
+    padding=(w,h,w,h) semantics)."""
+    cfg = [(pad_h, pad_h), (pad_w, pad_w), (0, 0)]
+    if x.ndim == 4:
+        cfg = [(0, 0)] + cfg
+    return jnp.pad(x, cfg, constant_values=fill)
+
+
+def resize_bilinear(x, out_h: int, out_w: int):
+    """Half-pixel-centre bilinear resize (cv2.INTER_LINEAR semantics), NHWC
+    or HWC."""
+    batched = x.ndim == 4
+    if not batched:
+        x = x[None]
+    b, h, w, c = x.shape
+    out = jax.image.resize(x, (b, out_h, out_w, c), method="linear")
+    return out if batched else out[0]
+
+
+def letterbox(x, out_h: int, out_w: int, fill: float = GREY):
+    """Pad-to-aspect then resize (detect.py:64-67 + calculate_padding).
+
+    Static-shape variant: input shape must be known at trace time. Returns
+    (image, (pad_h, pad_w, ratio)) where ratio maps original→output pixels.
+    """
+    h, w = (x.shape[1], x.shape[2]) if x.ndim == 4 else (x.shape[0], x.shape[1])
+    if max(h, w) == h:
+        new_w = h * out_w / out_h
+        ratio = out_h / h
+        pad_h, pad_w = 0, int((new_w - w) / 2)
+    else:
+        ratio = out_w / w
+        new_h = w * out_h / out_w
+        pad_w, pad_h = 0, int((new_h - h) / 2)
+    padded = pad_to(x, pad_h, pad_w, fill)
+    return resize_bilinear(padded, out_h, out_w), (pad_h, pad_w, ratio)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def roi_crop_bilinear(frames, boxes, out_h: int = 80, out_w: int = 80):
+    """Fixed-capacity batched ROI crop+resize — the detect→keypoints bridge.
+
+    Args:
+        frames: (B, H, W, C) float frames.
+        boxes:  (B, K, 4) xyxy crop rectangles in frame pixels (may be
+            degenerate for padded slots — output is garbage there; callers
+            carry a mask).
+
+    Returns (B, K, out_h, out_w, C) crops, bilinear with half-pixel centres
+    (cv2.resize semantics on the crop). Implemented as two separable 1-D
+    gathers+lerps (rows then cols) so XLA lowers it to vectorised gathers,
+    not a per-crop loop — this replaces the reference's host cv2 crop/resize
+    between the two ONNX models (README.md:59 pipeline).
+    """
+    B, H, W, C = frames.shape
+    K = boxes.shape[1]
+
+    x0, y0, x1, y1 = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
+    bw = jnp.maximum(x1 - x0, 1e-3)
+    bh = jnp.maximum(y1 - y0, 1e-3)
+
+    # source sampling centres (half-pixel convention)
+    js = (jnp.arange(out_w, dtype=frames.dtype) + 0.5) / out_w  # (ow,)
+    is_ = (jnp.arange(out_h, dtype=frames.dtype) + 0.5) / out_h  # (oh,)
+    sx = x0[..., None] + bw[..., None] * js - 0.5  # (B, K, ow)
+    sy = y0[..., None] + bh[..., None] * is_ - 0.5  # (B, K, oh)
+
+    # Border-replicate at the CROP edge (cv2 crop-then-resize semantics:
+    # samples never leak outside the box), then clip to the frame.
+    sx = jnp.clip(sx, x0[..., None], x1[..., None] - 1.0)
+    sy = jnp.clip(sy, y0[..., None], y1[..., None] - 1.0)
+    sx = jnp.clip(sx, 0.0, W - 1.0)
+    sy = jnp.clip(sy, 0.0, H - 1.0)
+
+    x0i = jnp.floor(sx).astype(jnp.int32)
+    y0i = jnp.floor(sy).astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, W - 1)
+    y1i = jnp.minimum(y0i + 1, H - 1)
+    fx = (sx - x0i)[..., None]  # (B, K, ow, 1)
+    fy = (sy - y0i)[..., None]  # (B, K, oh, 1)
+
+    def gather_rows(fr, yi):
+        # fr (H, W, C), yi (K, oh) → (K, oh, W, C)
+        return fr[yi]
+
+    rows0 = jax.vmap(gather_rows)(frames, y0i)  # (B, K, oh, W, C)
+    rows1 = jax.vmap(gather_rows)(frames, y1i)
+    rows = rows0 * (1 - fy[..., None]) + rows1 * fy[..., None]  # lerp in y
+
+    def gather_cols(rw, xi):
+        # rw (K, oh, W, C), xi (K, ow) → (K, oh, ow, C)
+        return jax.vmap(lambda r, x: r[:, x])(rw, xi)
+
+    cols0 = jax.vmap(gather_cols)(rows, x0i)  # (B, K, oh, ow, C)
+    cols1 = jax.vmap(gather_cols)(rows, x1i)
+    return cols0 * (1 - fx[:, :, None]) + cols1 * fx[:, :, None]

@@ -1,0 +1,72 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mit_driverless_cv_traininginfra_tpu.ops.image import (
+    GREY,
+    letterbox,
+    pad_to,
+    resize_bilinear,
+    roi_crop_bilinear,
+)
+
+
+def test_pad_to_values():
+    x = jnp.ones((2, 2, 3))
+    p = pad_to(x, 1, 2, fill=0.5)
+    assert p.shape == (4, 6, 3)
+    assert float(p[0, 0, 0]) == 0.5 and float(p[1, 2, 0]) == 1.0
+
+
+def test_letterbox_shapes_and_ratio():
+    x = jnp.zeros((1, 100, 50, 3))
+    out, (pad_h, pad_w, ratio) = letterbox(x, 80, 80)
+    assert out.shape == (1, 80, 80, 3)
+    assert pad_h == 0 and pad_w == 25 and ratio == pytest.approx(0.8)
+    # grey padding visible on the sides
+    assert float(out[0, 40, 0, 0]) == pytest.approx(GREY, abs=1e-3)
+
+
+def test_roi_crop_identity():
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)), jnp.float32)
+    boxes = jnp.asarray([[[0.0, 0.0, 32.0, 32.0]]])
+    crop = roi_crop_bilinear(frame, boxes, 32, 32)
+    np.testing.assert_allclose(np.asarray(crop[0, 0]), np.asarray(frame[0]), atol=1e-6)
+
+
+def test_roi_crop_integer_subregion():
+    rng = np.random.default_rng(1)
+    frame = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    boxes = jnp.asarray([[[8.0, 16.0, 24.0, 32.0]]])  # 16x16 region
+    crop = roi_crop_bilinear(frame, boxes, 16, 16)
+    np.testing.assert_allclose(
+        np.asarray(crop[0, 0]), np.asarray(frame[0, 16:32, 8:24]), atol=1e-6
+    )
+
+
+def test_roi_crop_matches_cv2_resize():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(2)
+    frame = rng.uniform(0, 1, (48, 40, 3)).astype(np.float32)
+    x0, y0, x1, y1 = 4, 6, 36, 42
+    crop = roi_crop_bilinear(jnp.asarray(frame[None]),
+                             jnp.asarray([[[x0, y0, x1, y1]]]), 80, 80)
+    ref = cv2.resize(frame[y0:y1, x0:x1], (80, 80), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_allclose(np.asarray(crop[0, 0]), ref, atol=1e-5)
+
+
+def test_roi_crop_batched_shapes():
+    frames = jnp.zeros((2, 64, 64, 3))
+    boxes = jnp.zeros((2, 5, 4))
+    out = roi_crop_bilinear(frames, boxes, 80, 80)
+    assert out.shape == (2, 5, 80, 80, 3)
+
+
+def test_resize_bilinear_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (37, 53, 3)).astype(np.float32)
+    ours = np.asarray(resize_bilinear(jnp.asarray(img), 80, 80))
+    ref = cv2.resize(img, (80, 80), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
