@@ -1,0 +1,81 @@
+"""End-to-end benchmark: detect→crop→keypoints frames/sec on one chip.
+
+Measures the fused two-stage pipeline (full YOLOv3-416 + batched NMS + ROI
+crop + RektNet soft-argmax) — BASELINE.json's headline metric, north star
+≥2000 frames/sec/chip at 416×416 on TPU v5e.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 2000.0
+
+
+def main():
+    from __graft_entry__ import _flagship_spec
+    from mit_driverless_cv_traininginfra_tpu.infer.pipeline import two_stage_pipeline
+    from mit_driverless_cv_traininginfra_tpu.models import rektnet
+    from mit_driverless_cv_traininginfra_tpu.models.darknet import fold_bn, init_params
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    spec = _flagship_spec(416)
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    folded = fold_bn(params, state, spec)
+    rp, rs = rektnet.init(jax.random.PRNGKey(1))
+    if on_tpu:
+        folded = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), folded)
+        rp = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), rp)
+        rs = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), rs)
+
+    batch = 32 if on_tpu else 2
+    iters = 20 if on_tpu else 2
+    frames = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (batch, 416, 416, 3)),
+        compute_dtype,
+    )
+    frames = jax.device_put(frames, dev)
+
+    def run(f):
+        return two_stage_pipeline(
+            spec, folded, {}, rp, rs, f,
+            conf_thresh=0.8, nms_thresh=0.25, max_det=16,
+        )
+
+    def sync(o):
+        # NOTE: through the axon tunnel, block_until_ready() returns before
+        # the computation finishes; a device→host scalar read is the only
+        # reliable fence.
+        return float(jnp.sum(o.keypoints)) + float(jnp.sum(o.scores))
+
+    # warmup/compile
+    sync(run(frames))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(frames)
+    sync(out)  # queue executes in order; fencing the last fences them all
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    print(json.dumps({
+        "metric": "e2e_detect_crop_keypoints_fps_416",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
