@@ -1,0 +1,84 @@
+"""``train.py`` CLI surface (CVC-YOLOv3/train.py:262-362 argparse parity)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from mit_driverless_cv_traininginfra_tpu.train import yolo_driver
+from mit_driverless_cv_traininginfra_tpu.utils.logger import Logger, add_bool_arg
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="YOLO training (TPU-native)")
+
+    def boolarg(name, default, help):
+        add_bool_arg(parser, name, default, help)
+
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--optimizer_pick", type=str, default="Adam",
+                        choices=["Adam", "SGD"])
+    parser.add_argument("--model_cfg", type=str, default="model_cfg/yolo_baseline.cfg")
+    parser.add_argument("--weights_path", type=str, default=None)
+    parser.add_argument("--output_path", type=str, default="automatic")
+    parser.add_argument("--dataset_path", type=str, default="dataset/YOLO_Dataset/")
+    parser.add_argument("--num_epochs", type=int, default=2048)
+    parser.add_argument("--num_steps", type=int, default=8388608)
+    parser.add_argument("--checkpoint_interval", type=int, default=1)
+    parser.add_argument("--val_tolerance", type=int, default=3)
+    parser.add_argument("--min_epochs", type=int, default=3)
+    parser.add_argument("--momentum", type=float, default=0.9)
+    parser.add_argument("--gamma", type=float, default=0.95)
+    parser.add_argument("--lr", type=float, default=0.001)
+    parser.add_argument("--weight_decay", type=float, default=0.0)
+    parser.add_argument("--xy_loss", type=float, default=2.0)
+    parser.add_argument("--wh_loss", type=float, default=1.6)
+    parser.add_argument("--no_object_loss", type=float, default=25.0)
+    parser.add_argument("--object_loss", type=float, default=0.1)
+    parser.add_argument("--vis_batch", type=int, default=0)
+    parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument("--n_devices", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=17)
+    boolarg("evaluate", False, "evaluate only, no training")
+    boolarg("augment_affine", False, "enable affine augmentation")
+    boolarg("augment_hsv", False, "enable HSV jitter")
+    boolarg("lr_flip", False, "enable left-right flips")
+    boolarg("ud_flip", False, "enable up-down flips")
+    boolarg("data_aug", False, "enable the full augmentation suite")
+    boolarg("blur", False, "enable gaussian blur augmentation")
+    boolarg("salt", False, "enable salt augmentation")
+    boolarg("noise", False, "enable additive gaussian noise")
+    boolarg("contrast", False, "enable sigmoid contrast")
+    boolarg("sharpen", False, "enable sharpen augmentation")
+    boolarg("ts", True, "enable tile-and-scale mode")
+    boolarg("debug_mode", False, "batch 1, no shuffle, patch 0")
+    boolarg("vanilla_anchor", False, "use the vanilla anchor list")
+    boolarg("upload_dataset", False, "upload dataset visualizations")
+    return parser
+
+
+def main(argv=None) -> int:
+    opt = build_parser().parse_args(argv)
+    if opt.output_path == "automatic":
+        from datetime import datetime
+
+        stem = os.path.basename(opt.model_cfg).split(".")[0]
+        month = datetime.now().strftime("%B").lower()
+        year = str(datetime.now().year)
+        opt.output_path = os.path.join("outputs", f"{month}-{year}-experiments", stem)
+    os.makedirs("logs", exist_ok=True)
+    stem = os.path.basename(opt.model_cfg).split(".")[0]
+    sys.stdout = Logger(os.path.join("logs", stem + ".log"))
+    sys.stderr = Logger(os.path.join("logs", stem + ".error"))
+
+    kwargs = {
+        k: v for k, v in vars(opt).items()
+        if k not in ("vis_batch", "upload_dataset")
+    }
+    yolo_driver.main(**kwargs)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -231,7 +231,17 @@ def load_network_spec(
     elif vanilla_anchor or not net.train_uri or not os.path.exists(net.train_uri):
         anchor_list = list(VANILLA_ANCHORS)
     else:
-        anchor_list = read_anchors_csv(net.train_uri)
+        try:
+            anchor_list = read_anchors_csv(net.train_uri)
+        except ValueError:
+            import warnings
+
+            warnings.warn(
+                f"Row 1 of {net.train_uri!r} holds no anchors; falling back "
+                "to the vanilla anchor list (pass vanilla_anchor=True or run "
+                "the k-means generator to silence this)."
+            )
+            anchor_list = list(VANILLA_ANCHORS)
 
     blocks: List[Block] = []
     yolo_count = 0

@@ -1,0 +1,239 @@
+"""YOLO training driver — the ``train.py main``/``run_epoch`` equivalent
+(CVC-YOLOv3/train.py:49-259), DP over the device mesh.
+
+Behavioural parity: per-epoch StepLR at the top of the epoch, per-batch loss
+logging with component percentages, checkpoint each ``checkpoint_interval``
+epochs (legacy ``.weights`` + orbax state), validation loss + mAP at each
+checkpoint, best-loss bookkeeping into ``logs/result.txt`` (the sweep-layer
+score channel), early stop after ``val_tolerance`` non-improving checkpoints
+past ``min_epochs``, then ONNX export of the final weights.
+
+TPU-native differences: one jitted SPMD step per batch (no ``.item()``
+sync per loss component — components come back as one array), async device
+prefetch, BN stats over the global batch.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from mit_driverless_cv_traininginfra_tpu.config.darknet_cfg import NetworkSpec, load_network_spec
+from mit_driverless_cv_traininginfra_tpu.data.loader import DataLoader, prefetch_to_device
+from mit_driverless_cv_traininginfra_tpu.data.yolo_dataset import ImageLabelDataset
+from mit_driverless_cv_traininginfra_tpu.models.darknet import (
+    detections,
+    init_params,
+    load_darknet_weights,
+    save_darknet_weights,
+)
+from mit_driverless_cv_traininginfra_tpu.ops.metrics import evaluate_image_batch, summarize
+from mit_driverless_cv_traininginfra_tpu.parallel.mesh import (
+    make_mesh,
+    pad_batch_to_devices,
+    replicate,
+)
+from mit_driverless_cv_traininginfra_tpu.train.optim import make_optimizer, set_lr, step_lr
+from mit_driverless_cv_traininginfra_tpu.train.steps import (
+    init_train_state,
+    yolo_eval_step,
+    yolo_train_step,
+)
+from mit_driverless_cv_traininginfra_tpu.utils.logger import write_score_file
+
+LOSS_LABELS = ["Total", "L-x", "L-y", "L-w", "L-h", "L-obj", "L-noobj"]
+
+
+def run_epoch(*, label_prefix: str, data_loader, spec, tx, ts, mesh,
+              num_steps: int, step, epoch: int, loss_consts, optimize: bool):
+    """Shared train/validate epoch loop (train.py:49-93). Returns
+    (epoch_losses[7], epoch_time_total, epoch_num_targets, ts)."""
+    print(f"Model in {label_prefix} mode")
+    epoch_losses = [0.0] * 7
+    epoch_time_total = 0.0
+    epoch_num_targets = 1e-12
+    t1 = time.time()
+    xy, wh, obj, noobj = loss_consts
+    n_dev = len(mesh.devices.ravel()) if mesh is not None else 1
+
+    it = iter(data_loader)
+    if mesh is not None:
+        it = prefetch_to_device(
+            ((u, *pad_pair(imgs, labels, n_dev)) for u, imgs, labels in it), mesh
+        )
+    for i, (img_uri, imgs, targets) in enumerate(it):
+        if step[0] >= num_steps:
+            break
+        step_num_targets = float(
+            ((np.asarray(targets)[:, :, 1:5] > 0).sum(axis=2) > 1).sum()
+        ) + 1e-12
+        epoch_num_targets += step_num_targets
+
+        if optimize:
+            ts, loss, comps = yolo_train_step(
+                spec, tx, ts, imgs, targets,
+                xy_loss=xy, wh_loss=wh, object_loss=obj, no_object_loss=noobj,
+            )
+        else:
+            loss, comps = yolo_eval_step(
+                spec, ts.params, ts.model_state, imgs, targets,
+                xy_loss=xy, wh_loss=wh, object_loss=obj, no_object_loss=noobj,
+            )
+        losses = [float(loss)] + [float(c) for c in np.asarray(comps)]
+        for j in range(7):
+            epoch_losses[j] += losses[j]
+        epoch_time_total = time.time() - t1
+
+        statement = (f"{label_prefix} Epoch: {epoch}, Batch: {i + 1}/{len(data_loader)}"
+                     f", Total: {losses[0] / step_num_targets:10.6f}")
+        for lbl, val in zip(LOSS_LABELS[1:], losses[1:]):
+            pct = val / losses[0] * 100 if losses[0] else 0.0
+            statement += f",   {lbl}: {pct:5.2f}%"
+        print(statement)
+        if optimize:
+            step[0] += 1
+    return epoch_losses, epoch_time_total, epoch_num_targets, ts
+
+
+def pad_pair(imgs, labels, n_dev):
+    imgs, _ = pad_batch_to_devices(imgs, n_dev)
+    labels, _ = pad_batch_to_devices(labels, n_dev)
+    return imgs, labels
+
+
+def validate_map(*, data_loader, spec, params, model_state, mesh, top_k=200):
+    """mAP/R/P over a loader (validate.validate, validate.py:61-182)."""
+    t0 = time.time()
+    aps, rs, ps, valids = [], [], [], []
+    n_images = 0
+    det_fn = jax.jit(lambda im: detections(spec, params, model_state, im))
+    for _, imgs, targets in data_loader:
+        n_images += imgs.shape[0]
+        dets = det_fn(imgs)
+        ev = evaluate_image_batch(
+            dets, targets, spec.net.width, spec.net.height,
+            conf_thresh=spec.net.conf_thresh, nms_thresh=spec.net.nms_thresh,
+            iou_thresh=spec.net.iou_thresh, top_k=top_k,
+        )
+        aps.append(np.asarray(ev.ap)); rs.append(np.asarray(ev.recall))
+        ps.append(np.asarray(ev.precision)); valids.append(np.asarray(ev.valid))
+    valid = np.concatenate(valids)
+    if valid.sum() == 0:
+        mAP = mR = mP = 0.0
+    else:
+        mAP = float(np.concatenate(aps)[valid].mean())
+        mR = float(np.concatenate(rs)[valid].mean())
+        mP = float(np.concatenate(ps)[valid].mean())
+    dt = time.time() - t0
+    print("mAP: {0:5.2%}, Recall: {1:5.2%}, Precision: {2:5.2%}".format(mAP, mR, mP))
+    return mAP, mR, mP, dt / (n_images + 1e-12)
+
+
+def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
+         dataset_path: str, batch_size: int = 8, optimizer_pick: str = "Adam",
+         num_epochs: int = 100, num_steps: int = 10**9,
+         checkpoint_interval: int = 1, lr: float = 1e-3, momentum: float = 0.9,
+         gamma: float = 0.95, weight_decay: float = 0.0,
+         xy_loss: float = 2.0, wh_loss: float = 1.6,
+         no_object_loss: float = 25.0, object_loss: float = 0.1,
+         vanilla_anchor: bool = False, ts: bool = True,
+         augment_affine: bool = False, augment_hsv: bool = False,
+         lr_flip: bool = False, ud_flip: bool = False, data_aug: bool = False,
+         blur: bool = False, salt: bool = False, noise: bool = False,
+         contrast: bool = False, sharpen: bool = False,
+         val_tolerance: int = 3, min_epochs: int = 3,
+         debug_mode: bool = False, evaluate: bool = False,
+         num_workers: int = 8, n_devices: Optional[int] = None,
+         seed: int = 17):
+    spec = load_network_spec(model_cfg, vanilla_anchor=vanilla_anchor)
+    os.makedirs(output_path, exist_ok=True)
+    os.makedirs("logs", exist_ok=True)
+
+    common = dict(dataset_path=dataset_path, width=spec.net.width,
+                  height=spec.net.height, bw=spec.net.bw, ts=ts,
+                  debug_mode=debug_mode, seed=seed)
+    train_ds = ImageLabelDataset(
+        spec.net.train_uri, num_images=spec.net.num_train_images,
+        augment_affine=augment_affine, augment_hsv=augment_hsv,
+        lr_flip=lr_flip, ud_flip=ud_flip, data_aug=data_aug, blur=blur,
+        salt=salt, noise=noise, contrast=contrast, sharpen=sharpen, **common)
+    val_ds = ImageLabelDataset(
+        spec.net.validate_uri, num_images=spec.net.num_validate_images, **common)
+    bs = 1 if debug_mode else batch_size
+    train_loader = DataLoader(train_ds, bs, shuffle=not debug_mode,
+                              num_workers=num_workers, seed=seed)
+    val_loader = DataLoader(val_ds, bs, shuffle=False, num_workers=num_workers)
+    print("Num train images: ", len(train_ds))
+    print("Num validate images: ", len(val_ds))
+
+    mesh = make_mesh(n_devices) if (n_devices or jax.device_count() > 1) else None
+    params, mstate = init_params(spec, jax.random.PRNGKey(seed))
+    if weights_path:
+        params, mstate, _ = load_darknet_weights(spec, params, mstate, weights_path)
+    tx = make_optimizer(optimizer_pick, lr=lr, momentum=momentum,
+                        weight_decay=weight_decay)
+    ts_state = init_train_state(params, mstate, tx)
+    if mesh is not None:
+        ts_state = replicate(mesh, ts_state)
+
+    loss_consts = (xy_loss, wh_loss, object_loss, no_object_loss)
+    val_loss = 999.0
+    val_loss_counter = 0
+    step = [0]
+    epoch = 0
+    while epoch < num_epochs and step[0] < num_steps and not evaluate:
+        epoch += 1
+        # StepLR stepped at the top of the epoch (train.py:199,207)
+        ts_state = ts_state._replace(
+            opt_state=set_lr(ts_state.opt_state, step_lr(lr, gamma, epoch)))
+        _, _, _, ts_state = run_epoch(
+            label_prefix="train", data_loader=train_loader, spec=spec, tx=tx,
+            ts=ts_state, mesh=mesh, num_steps=num_steps, step=step,
+            epoch=epoch, loss_consts=loss_consts, optimize=True)
+        print("Completed epoch: ", epoch)
+
+        if epoch % checkpoint_interval == 0 or epoch == num_epochs or step[0] >= num_steps:
+            save_weights_uri = os.path.join(output_path, f"{epoch}.weights")
+            save_darknet_weights(spec, ts_state.params, ts_state.model_state,
+                                 save_weights_uri)
+            print("Calculating loss on validate data")
+            epoch_losses, _, epoch_num_targets, _ = run_epoch(
+                label_prefix="validate", data_loader=val_loader, spec=spec,
+                tx=tx, ts=ts_state, mesh=mesh, num_steps=10**12, step=step,
+                epoch=epoch, loss_consts=loss_consts, optimize=False)
+            avg_epoch_loss = epoch_losses[0] / epoch_num_targets
+            print("Average Validation Loss: {0:10.6f}".format(avg_epoch_loss))
+            if avg_epoch_loss > val_loss and epoch > min_epochs:
+                val_loss_counter += 1
+                print(f"Validation loss did not decrease for {val_loss_counter}"
+                      f" consecutive check(s)")
+            else:
+                print("Validation loss decreased. Yay!!")
+                val_loss_counter = 0
+                val_loss = avg_epoch_loss
+                write_score_file("logs/result.txt", avg_epoch_loss)
+            validate_map(data_loader=val_loader, spec=spec,
+                         params=ts_state.params, model_state=ts_state.model_state,
+                         mesh=mesh)
+            if val_loss_counter == val_tolerance:
+                print(f"Validation loss stopped decreasing over the last "
+                      f"{val_tolerance} checkpoints, creating onnx file")
+                try:
+                    from mit_driverless_cv_traininginfra_tpu.export.yolo2onnx import (
+                        export_yolo_onnx,
+                    )
+
+                    onnx_uri = os.path.join(output_path, spec.net.onnx_name(model_cfg))
+                    export_yolo_onnx(spec, ts_state.params, ts_state.model_state,
+                                     onnx_uri)
+                except ImportError:
+                    print("ONNX export module unavailable; skipping export")
+                break
+    if evaluate:
+        validate_map(data_loader=val_loader, spec=spec, params=ts_state.params,
+                     model_state=ts_state.model_state, mesh=mesh)
+    return val_loss
