@@ -9,10 +9,23 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# Persistent compilation cache: the fused pipeline is one large XLA program
+# and a cold compile through the TPU tunnel takes minutes; cache it on disk
+# so repeat runs (and the driver's bench invocation) start hot.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,16 +42,24 @@ def main():
     on_tpu = dev.platform == "tpu"
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
+    from mit_driverless_cv_traininginfra_tpu.models.stem_opt import (
+        build_packed_stem,
+        stem_is_packable,
+    )
+
     spec = _flagship_spec(416)
     params, state = init_params(spec, jax.random.PRNGKey(0))
     folded = fold_bn(params, state, spec)
+    packed = build_packed_stem(folded) if stem_is_packable(spec) else None
     rp, rs = rektnet.init(jax.random.PRNGKey(1))
     if on_tpu:
         folded = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), folded)
         rp = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), rp)
         rs = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), rs)
+        if packed is not None:
+            packed = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), packed)
 
-    batch = 32 if on_tpu else 2
+    batch = 64 if on_tpu else 2
     iters = 20 if on_tpu else 2
     frames = jnp.asarray(
         np.random.default_rng(0).uniform(0, 1, (batch, 416, 416, 3)),
@@ -50,6 +71,7 @@ def main():
         return two_stage_pipeline(
             spec, folded, {}, rp, rs, f,
             conf_thresh=0.8, nms_thresh=0.25, max_det=16,
+            packed_stem=packed,
         )
 
     def sync(o):

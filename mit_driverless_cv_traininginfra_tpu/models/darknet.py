@@ -141,6 +141,7 @@ def forward_features(
     state,
     x,
     train: bool = False,
+    packed_stem=None,
 ):
     """Run the backbone+necks; returns (head_outputs, new_state).
 
@@ -148,12 +149,24 @@ def forward_features(
     (B, H, W, A*(5+C)). Decode/loss are separate fns so train and eval
     share this graph (reference interleaves them in Darknet.forward).
     ``params`` may be folded (no 'bn') or unfolded; ``state`` unused when
-    folded.
+    folded. ``packed_stem`` (serving only): space-to-depth-rewritten stem
+    weights from :mod:`stem_opt` — blocks 0/1 are replaced by the exact
+    packed equivalent (nothing downstream references block 0's output in
+    the YOLOv3 graph).
     """
     outputs: List[jnp.ndarray] = []
     layer_outputs: List[jnp.ndarray] = []
     new_state = dict(state) if train else state
-    for i, b in enumerate(spec.blocks):
+    start = 0
+    if packed_stem is not None and not train:
+        from mit_driverless_cv_traininginfra_tpu.models.stem_opt import (
+            apply_packed_stem,
+        )
+
+        x = apply_packed_stem(packed_stem, x, spec.net.leaky_slope)
+        layer_outputs = [x, x]  # slot 0 is never routed to in this graph
+        start = 2
+    for i, b in list(enumerate(spec.blocks))[start:]:
         if isinstance(b, ConvBlock):
             p = params[str(i)]
             pad = (b.size - 1) // 2
@@ -243,10 +256,11 @@ def head_predictions(head_out, num_anchors: int, num_classes: int):
     }
 
 
-def detections(spec: NetworkSpec, params, state, x):
+def detections(spec: NetworkSpec, params, state, x, packed_stem=None):
     """Full eval forward: concat per-head decodes along the box axis
     (models.py:338). Returns (B, ΣA·H·W, 5+C)."""
-    heads, _ = forward_features(spec, params, state, x, train=False)
+    heads, _ = forward_features(spec, params, state, x, train=False,
+                                packed_stem=packed_stem)
     yolo_blocks = [b for b in spec.blocks if isinstance(b, YoloBlock)]
     decoded = [
         decode_head(h, yb.anchors, spec.net.height, spec.net.num_classes)
