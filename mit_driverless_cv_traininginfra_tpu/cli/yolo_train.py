@@ -74,7 +74,7 @@ def main(argv=None) -> int:
 
     kwargs = {
         k: v for k, v in vars(opt).items()
-        if k not in ("vis_batch", "upload_dataset")
+        if k not in ("upload_dataset",)
     }
     yolo_driver.main(**kwargs)
     return 0

@@ -133,11 +133,28 @@ class ImageLabelDataset:
             labels = np.concatenate([labels, np.zeros((pad, 5), np.float32)], 0)
         return labels
 
+    def _vis(self, img, labels, suffix: str, color: str):
+        """Stage-by-stage artifact dump for the --vis_batch harness
+        (utils/datasets.py:134-140,182-224: original/scaled/per-patch/
+        pre-aug/post-aug renders into the visualization dir)."""
+        from mit_driverless_cv_traininginfra_tpu.utils.vis import (
+            visualize_and_save_to_local,
+        )
+
+        name = os.path.basename(self._vis_uri).rsplit(".", 1)[0]
+        path = os.path.join(VIS_DIR, f"{name}_{suffix}.jpg")
+        visualize_and_save_to_local(img.copy(), labels, path, box_color=color)
+        print(f"new image saved to {path}")
+
     def __getitem__(self, index: int) -> Tuple[str, np.ndarray, np.ndarray]:
         rng = self._rng
         img_uri = self.img_files[index]
         img_boxes = self.labels[index]
         orig_img = Image.open(img_uri).convert("RGB")
+        self._vis_uri = img_uri
+        if self.vis_batch and len(img_boxes) > 0:
+            raw = _np_xyhw_to_corner_with_class(np.asarray(img_boxes, np.float32))
+            self._vis(orig_img, raw, "original", "green")
 
         if self.ts:
             scale = self.scales[index]
@@ -179,11 +196,22 @@ class ImageLabelDataset:
         if self.ts:
             labels[:, 1:5] *= self.scales[index]
             labels[:, 1:5] += [horiz_pad, vert_pad, horiz_pad, vert_pad]
+            if self.vis_batch:
+                self._vis(padded, labels, "scaled", "red")
+                for pi in range(n_patches):
+                    bnd = get_patch_bounds(padded.size[0], padded.size[1],
+                                           pw, ph, pi)
+                    plabels = filter_and_offset_labels(labels, bnd)
+                    self._vis(padded.crop(bnd), plabels, f"patch_{pi}", "blue")
             labels = filter_and_offset_labels(labels, boundary)
         else:
             labels[:, 1:5] += [horiz_pad, vert_pad, horiz_pad, vert_pad]
             labels[:, 1:5] *= ratio
+            if self.vis_batch:
+                self._vis(img, labels, "pad_resized", "blue")
 
+        if self.vis_batch and self.data_aug:
+            self._vis(img, labels, "before_aug", "red")
         if (self.augment_hsv or self.data_aug) and rng.random() > 0.5:
             img = A.color_jitter(img, rng)
 
@@ -218,6 +246,14 @@ class ImageLabelDataset:
             arr = A.sigmoid_contrast(arr, rng.randint(5, 10), rng.uniform(0.45, 0.75))
         if self.sharpen and rng.random() > 0.3:
             arr = A.sharpen(arr, rng.uniform(0, 0.5))
+
+        if self.vis_batch:
+            if self.data_aug:
+                self._vis(Image.fromarray(arr if arr.ndim == 3 else arr[..., 0]),
+                          labels, "post_augmentation", "green")
+            self.vis_counter += 1
+            if self.vis_counter > (self.vis_batch - 1):
+                sys.exit("Finished visualizing enough images. Exiting!")
 
         # normalise to xywh in [0,1] (utils/datasets.py:307-309)
         out = labels.copy()

@@ -111,17 +111,14 @@ def soft_argmax_2d(hm_logits):
     materialising the (B,K,H,W) probability tensor a second time. Returns
     (points (B,K,2) in [0,1) xy order, probs (B,K,H,W)).
     """
+    from mit_driverless_cv_traininginfra_tpu.ops.pallas_kernels import (
+        fused_softargmax,
+    )
+
     b, k, h, w = hm_logits.shape
-    z = hm_logits.reshape(b, k, h * w)
-    z = z - jax.lax.stop_gradient(jnp.max(z, axis=-1, keepdims=True))
-    e = jnp.exp(z)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    probs = (e / denom).reshape(b, k, h, w)
-    ys = jnp.linspace(0.0, (h - 1.0) / h, h, dtype=hm_logits.dtype)
-    xs = jnp.linspace(0.0, (w - 1.0) / w, w, dtype=hm_logits.dtype)
-    exp_y = jnp.einsum("bkhw,h->bk", probs, ys)
-    exp_x = jnp.einsum("bkhw,w->bk", probs, xs)
-    return jnp.stack([exp_x, exp_y], axis=-1), probs
+    pts, probs = fused_softargmax(hm_logits.reshape(b * k, h, w))
+    return (pts.reshape(b, k, 2).astype(hm_logits.dtype),
+            probs.reshape(b, k, h, w))
 
 
 # ---------------------------------------------------------------------------

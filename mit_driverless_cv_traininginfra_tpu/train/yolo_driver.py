@@ -146,6 +146,7 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
          blur: bool = False, salt: bool = False, noise: bool = False,
          contrast: bool = False, sharpen: bool = False,
          val_tolerance: int = 3, min_epochs: int = 3,
+         vis_batch: int = 0,
          debug_mode: bool = False, evaluate: bool = False,
          num_workers: int = 8, n_devices: Optional[int] = None,
          seed: int = 17):
@@ -160,7 +161,8 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
         spec.net.train_uri, num_images=spec.net.num_train_images,
         augment_affine=augment_affine, augment_hsv=augment_hsv,
         lr_flip=lr_flip, ud_flip=ud_flip, data_aug=data_aug, blur=blur,
-        salt=salt, noise=noise, contrast=contrast, sharpen=sharpen, **common)
+        salt=salt, noise=noise, contrast=contrast, sharpen=sharpen,
+        vis_batch=vis_batch, **common)
     val_ds = ImageLabelDataset(
         spec.net.validate_uri, num_images=spec.net.num_validate_images, **common)
     bs = 1 if debug_mode else batch_size

@@ -1,0 +1,72 @@
+"""Tracing / profiling utilities (SURVEY.md §5: the reference has only
+wall-clock accumulation in the train loop, train.py:53,77-79; the TPU-native
+equivalent is ``jax.profiler`` traces plus host-side step timing kept off
+the hot path).
+
+- :func:`trace` — context manager around ``jax.profiler`` writing a
+  TensorBoard-loadable trace directory (XLA ops, HBM usage, ICI traffic).
+- :class:`StepTimer` — EMA step timing with deferred device syncs: it fences
+  on a tiny device→host read only every ``sync_every`` steps, so the
+  dispatch queue stays full between measurements (the per-step ``.item()``
+  sync in the reference's loop is exactly what this avoids).
+- :func:`device_memory_stats` — per-device HBM live/peak bytes.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "outputs/profile"):
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    def __init__(self, sync_every: int = 50, ema: float = 0.9):
+        self.sync_every = sync_every
+        self.ema = ema
+        self.step_time: Optional[float] = None
+        self._count = 0
+        self._t0 = time.perf_counter()
+
+    def step(self, fence_value=None) -> Optional[float]:
+        """Call once per train step with any tiny device array to fence on.
+        Returns the current EMA step time (seconds) on sync steps, else
+        None (no device sync performed)."""
+        self._count += 1
+        if self._count % self.sync_every:
+            return None
+        if fence_value is not None:
+            float(jax.numpy.sum(fence_value))  # device→host fence
+        t1 = time.perf_counter()
+        dt = (t1 - self._t0) / self.sync_every
+        self._t0 = t1
+        self.step_time = dt if self.step_time is None else (
+            self.ema * self.step_time + (1 - self.ema) * dt
+        )
+        return self.step_time
+
+
+def device_memory_stats():
+    out = {}
+    for d in jax.devices():
+        try:
+            stats = d.memory_stats()
+        except Exception:
+            stats = None
+        if stats:
+            out[str(d)] = {
+                "bytes_in_use": stats.get("bytes_in_use"),
+                "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+                "bytes_limit": stats.get("bytes_limit"),
+            }
+    return out

@@ -1,0 +1,110 @@
+"""Native C++ input-pipeline core: build, decode, geometry parity vs
+cv2/PIL, and the threaded batch path."""
+
+import io
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, "/root/repo") if "/root/repo" not in sys.path else None
+
+import native  # repo-root package, built on demand
+
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+
+def _png_bytes(arr):
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, format="PNG")
+    return b.getvalue()
+
+
+def _jpg_bytes(arr, q=95):
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, format="JPEG", quality=q)
+    return b.getvalue()
+
+
+def test_png_decode_exact():
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (37, 53, 3), np.uint8)
+    out = native.decode_image(_png_bytes(arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_jpeg_decode_close():
+    rng = np.random.default_rng(1)
+    # smooth image so JPEG loss is small
+    arr = np.tile(np.linspace(0, 255, 64, dtype=np.uint8)[None, :, None],
+                  (48, 1, 3))
+    out = native.decode_image(_jpg_bytes(arr, q=98))
+    assert out.shape == arr.shape
+    assert np.abs(out.astype(int) - arr.astype(int)).mean() < 3
+
+
+def test_resize_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (48, 40, 3), np.uint8)
+    ours = native.resize(img, 80, 96)
+    ref = cv2.resize(img, (96, 80), interpolation=cv2.INTER_LINEAR)
+    # identical bilinear arithmetic; allow ±1 for rounding mode
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_letterbox_geometry():
+    img = np.full((100, 50, 3), 200, np.uint8)
+    out = native.letterbox(img, 80, 80, fill=127)
+    assert out.shape == (80, 80, 3)
+    # grey bars left/right, content centred
+    assert abs(int(out[40, 0, 0]) - 127) <= 1
+    assert abs(int(out[40, 40, 0]) - 200) <= 1
+
+
+def test_extract_patch_with_padding():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (30, 30, 3), np.uint8)
+    patch = native.extract_patch(img, -5, 10, 20, 25, fill=7)
+    assert patch.shape == (20, 25, 3)
+    assert (patch[:5] == 7).all()  # above the image
+    np.testing.assert_array_equal(patch[5:, :20], img[0:15, 10:30])
+    assert (patch[5:, 20:] == 7).all()  # right of the image
+
+
+def test_affine_identity():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, (32, 32, 3), np.uint8)
+    ident = np.asarray([[1, 0, 0], [0, 1, 0]], np.float32)
+    out = native.affine_warp(img, ident)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_affine_translation():
+    img = np.zeros((20, 20, 3), np.uint8)
+    img[5, 5] = 255
+    # output→input map shifting content +3 in x: src_x = dst_x - 3
+    m = np.asarray([[1, 0, -3], [0, 1, 0]], np.float32)
+    out = native.affine_warp(img, m, fill=0)
+    assert out[5, 8, 0] == 255 and out[5, 5, 0] == 0
+
+
+def test_batch_decode_letterbox_threaded():
+    rng = np.random.default_rng(5)
+    blobs = []
+    for i in range(12):
+        arr = rng.integers(0, 255, (60 + i, 40 + i, 3), np.uint8)
+        blobs.append(_png_bytes(arr) if i % 2 else _jpg_bytes(arr))
+    out, failures = native.decode_letterbox_batch(blobs, 64, 64, n_threads=4)
+    assert failures == 0
+    assert out.shape == (12, 64, 64, 3)
+    assert out.std() > 0  # actually wrote pixels
+
+
+def test_batch_decode_reports_failures():
+    blobs = [b"not an image", _png_bytes(np.zeros((8, 8, 3), np.uint8))]
+    out, failures = native.decode_letterbox_batch(blobs, 32, 32)
+    assert failures == 1

@@ -1,0 +1,56 @@
+"""Pallas kernel correctness, run in interpreter mode on CPU (the compiled
+path is exercised on real TPU by bench.py / the drive scripts)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from mit_driverless_cv_traininginfra_tpu.ops.pallas_kernels import (
+    _pallas_softargmax,
+    _xla_softargmax,
+    fused_softargmax,
+)
+
+
+def test_pallas_kernel_matches_xla_interpret():
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 3, (12, 80, 80)),
+                    jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        pts_p, pr_p = _pallas_softargmax(x)
+    pts_x, pr_x = _xla_softargmax(x)
+    np.testing.assert_allclose(np.asarray(pts_p), np.asarray(pts_x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pr_p), np.asarray(pr_x), atol=1e-6)
+
+
+def test_fused_softargmax_gradients_match_reference():
+    x = jnp.asarray(np.random.default_rng(1).normal(0, 2, (4, 80, 80)),
+                    jnp.float32)
+
+    def via_fused(z):
+        pts, probs = fused_softargmax(z)
+        return jnp.sum(pts ** 2) + 0.1 * jnp.sum(probs ** 2)
+
+    def reference(z):
+        m, h, w = z.shape
+        p = jax.nn.softmax(z.reshape(m, h * w), axis=1)
+        ys = jnp.linspace(0, (h - 1.0) / h, h)
+        xs = jnp.linspace(0, (w - 1.0) / w, w)
+        yv, xv = jnp.repeat(ys, w), jnp.tile(xs, h)
+        pts = jnp.stack([jnp.sum(p * xv, 1), jnp.sum(p * yv, 1)], 1)
+        return jnp.sum(pts ** 2) + 0.1 * jnp.sum(p ** 2)
+
+    g1 = jax.grad(via_fused)(x)
+    g2 = jax.grad(reference)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+
+def test_fused_softargmax_padding_path():
+    # M not a multiple of BLOCK_M exercises the pad/unpad logic
+    x = jnp.asarray(np.random.default_rng(2).normal(0, 1, (5, 80, 80)),
+                    jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        pts, probs = _pallas_softargmax(x)
+    assert pts.shape == (5, 2) and probs.shape == (5, 80, 80)
+    np.testing.assert_allclose(np.asarray(probs.sum(axis=(1, 2))), 1.0, atol=1e-5)
