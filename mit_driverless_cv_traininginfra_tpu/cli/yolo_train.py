@@ -41,6 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--n_devices", type=int, default=None)
     parser.add_argument("--seed", type=int, default=17)
     boolarg("evaluate", False, "evaluate only, no training")
+    boolarg("resume", False, "resume from the output_path orbax checkpoint")
     boolarg("augment_affine", False, "enable affine augmentation")
     boolarg("augment_hsv", False, "enable HSV jitter")
     boolarg("lr_flip", False, "enable left-right flips")

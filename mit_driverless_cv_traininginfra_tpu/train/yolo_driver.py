@@ -37,6 +37,7 @@ from mit_driverless_cv_traininginfra_tpu.parallel.mesh import (
     pad_batch_to_devices,
     replicate,
 )
+from mit_driverless_cv_traininginfra_tpu.train.checkpoints import restore_orbax, save_orbax
 from mit_driverless_cv_traininginfra_tpu.train.optim import make_optimizer, set_lr, step_lr
 from mit_driverless_cv_traininginfra_tpu.train.steps import (
     init_train_state,
@@ -146,7 +147,7 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
          blur: bool = False, salt: bool = False, noise: bool = False,
          contrast: bool = False, sharpen: bool = False,
          val_tolerance: int = 3, min_epochs: int = 3,
-         vis_batch: int = 0,
+         vis_batch: int = 0, resume: bool = False,
          debug_mode: bool = False, evaluate: bool = False,
          num_workers: int = 8, n_devices: Optional[int] = None,
          seed: int = 17):
@@ -179,6 +180,18 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
     tx = make_optimizer(optimizer_pick, lr=lr, momentum=momentum,
                         weight_decay=weight_decay)
     ts_state = init_train_state(params, mstate, tx)
+
+    # orbax resume: full state (params, BN stats, optimizer, step) — the
+    # capability the reference lacks (SURVEY §5: "no resume codepath")
+    start_epoch = 0
+    orbax_dir = os.path.join(output_path, "orbax_latest")
+    meta_path = os.path.join(output_path, "orbax_latest.meta")
+    if resume and os.path.exists(orbax_dir):
+        restored = restore_orbax(orbax_dir, like=ts_state)
+        ts_state = type(ts_state)(*restored) if isinstance(restored, (list, tuple)) else restored
+        with open(meta_path) as f:
+            start_epoch = int(f.read())
+        print(f"Resumed from {orbax_dir} at epoch {start_epoch}")
     if mesh is not None:
         ts_state = replicate(mesh, ts_state)
 
@@ -186,7 +199,7 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
     val_loss = 999.0
     val_loss_counter = 0
     step = [0]
-    epoch = 0
+    epoch = start_epoch
     while epoch < num_epochs and step[0] < num_steps and not evaluate:
         epoch += 1
         # StepLR stepped at the top of the epoch (train.py:199,207)
@@ -202,6 +215,9 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
             save_weights_uri = os.path.join(output_path, f"{epoch}.weights")
             save_darknet_weights(spec, ts_state.params, ts_state.model_state,
                                  save_weights_uri)
+            save_orbax(orbax_dir, jax.tree_util.tree_map(np.asarray, ts_state))
+            with open(meta_path, "w") as f:
+                f.write(str(epoch))
             print("Calculating loss on validate data")
             epoch_losses, _, epoch_num_targets, _ = run_epoch(
                 label_prefix="validate", data_loader=val_loader, spec=spec,

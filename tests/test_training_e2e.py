@@ -206,3 +206,21 @@ def test_hyper_study_tpe(tmp_path, monkeypatch):
     sampler = study.sampler
     assert isinstance(sampler, TPESampler)
     assert np.mean(calls[-10:]) < np.mean(calls[:10])
+
+
+def test_yolo_driver_resume(yolo_train_env):
+    """orbax resume: second run continues from the saved epoch."""
+    from mit_driverless_cv_traininginfra_tpu.train import yolo_driver
+
+    cfg_path, img_dir, tmp_path = yolo_train_env
+    out = str(tmp_path / "out_resume")
+    kw = dict(model_cfg=cfg_path, weights_path=None, output_path=out,
+              dataset_path=img_dir, batch_size=4, checkpoint_interval=1,
+              lr=1e-4, gamma=0.95, vanilla_anchor=True, ts=False,
+              num_workers=2, val_tolerance=99, min_epochs=3)
+    yolo_driver.main(num_epochs=1, **kw)
+    assert os.path.exists(os.path.join(out, "orbax_latest.meta"))
+    yolo_driver.main(num_epochs=2, resume=True, **kw)
+    # epoch 1 already done → resumed run only writes epoch 2 weights
+    assert os.path.exists(os.path.join(out, "2.weights"))
+    assert open(os.path.join(out, "orbax_latest.meta")).read() == "2"
