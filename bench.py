@@ -52,6 +52,8 @@ def main():
     folded = fold_bn(params, state, spec)
     packed = build_packed_stem(folded) if stem_is_packable(spec) else None
     rp, rs = rektnet.init(jax.random.PRNGKey(1))
+    rp = rektnet.fold_bn(rp, rs)
+    rs = {}
     if on_tpu:
         folded = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), folded)
         rp = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), rp)

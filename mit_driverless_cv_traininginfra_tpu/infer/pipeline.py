@@ -76,7 +76,10 @@ def two_stage_pipeline(
 
     crops = roi_crop_bilinear(frames, boxes, crop_size, crop_size)
     flat = crops.reshape(B * max_det, crop_size, crop_size, frames.shape[-1])
-    _, pts, _ = rektnet.apply(rekt_params, rekt_state, flat)
+    if "bn" in rekt_params["stem"]:
+        _, pts, _ = rektnet.apply(rekt_params, rekt_state, flat)
+    else:  # BN-folded serving params (rektnet.fold_bn)
+        _, pts = rektnet.apply_folded(rekt_params, flat)
     pts = pts.reshape(B, max_det, 7, 2)  # in [0,1] crop coords
 
     x0y0 = boxes[..., None, 0:2]

@@ -244,6 +244,59 @@ def apply(params, state, x, train: bool = False, hm_only: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# serving: BN folding
+# ---------------------------------------------------------------------------
+
+
+def fold_bn(params, state):
+    """Fold BN into each conv for inference: w' = w·γ/σ,
+    b' = β + (b − μ)·γ/σ. Output tree has {w, b} per conv only; use with
+    :func:`apply_folded`."""
+
+    def fold(conv, bn_p, bn_s):
+        inv = bn_p["scale"] / jnp.sqrt(bn_s["var"] + BN_EPS)
+        return {
+            "w": conv["w"] * inv[None, None, None, :],
+            "b": bn_p["bias"] + (conv["b"] - bn_s["mean"]) * inv,
+        }
+
+    out = {
+        "stem": fold({"w": params["stem"]["w"], "b": params["stem"]["b"]},
+                     params["stem"]["bn"], state["stem"]),
+        "out": dict(params["out"]),
+    }
+    for i in range(1, 5):
+        p, s = params[f"res{i}"], state[f"res{i}"]
+        out[f"res{i}"] = {
+            "conv1": fold(p["conv1"], p["bn1"], s["bn1"]),
+            "conv2": fold(p["conv2"], p["bn2"], s["bn2"]),
+            "shortcut_conv": fold(p["shortcut_conv"], p["shortcut_bn"],
+                                  s["shortcut_bn"]),
+        }
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("hm_only",))
+def apply_folded(folded, x, hm_only: bool = False):
+    """Inference twin of :func:`apply` on BN-folded params — the serving
+    path (no BN reads, every conv is conv+bias+activation)."""
+    h = jax.nn.relu(conv2d(x, folded["stem"]["w"], folded["stem"]["b"], padding=3))
+    for i in range(1, 5):
+        p = folded[f"res{i}"]
+        a1 = jax.nn.relu(conv2d(h, p["conv1"]["w"], p["conv1"]["b"],
+                                padding=2, dilation=2))
+        b2 = conv2d(a1, p["conv2"]["w"], p["conv2"]["b"], padding=1)
+        sc = conv2d(h, p["shortcut_conv"]["w"], p["shortcut_conv"]["b"])
+        h = jax.nn.relu(sc + b2)
+    logits = conv2d(h, folded["out"]["w"], folded["out"]["b"])
+    if hm_only:
+        return logits
+    logits_bkhw = jnp.transpose(logits, (0, 3, 1, 2))
+    points, probs = soft_argmax_2d(logits_bkhw)
+    return probs, points
+
+
+# ---------------------------------------------------------------------------
 # legacy checkpoint import (RektNet .pt → pytree)
 # ---------------------------------------------------------------------------
 

@@ -123,3 +123,22 @@ def test_forward_matches_torch_oracle():
     probs, points, _ = apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(points), ref_pts.numpy(), atol=2e-5)
     np.testing.assert_allclose(np.asarray(probs), ref_hm.numpy(), atol=1e-6)
+
+
+def test_fold_bn_matches_apply():
+    from mit_driverless_cv_traininginfra_tpu.models.rektnet import apply_folded, fold_bn
+
+    params, state = init(jax.random.PRNGKey(7))
+    state = jax.tree_util.tree_map(
+        lambda x: x + jax.random.uniform(jax.random.PRNGKey(8), x.shape) * 0.2,
+        state,
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(9), (2, 80, 80, 3))
+    probs, pts, _ = apply(params, state, x)
+    fp = fold_bn(params, state)
+    probs_f, pts_f = apply_folded(fp, x)
+    np.testing.assert_allclose(np.asarray(pts), np.asarray(pts_f), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(probs_f), atol=2e-3)
+    # hm_only folded path keeps the export contract
+    logits = apply_folded(fp, x, hm_only=True)
+    assert logits.shape == (2, 80, 80, 7)
