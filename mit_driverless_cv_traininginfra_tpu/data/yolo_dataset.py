@@ -27,6 +27,7 @@ from PIL import Image
 
 from mit_driverless_cv_traininginfra_tpu.data import augment as A
 from mit_driverless_cv_traininginfra_tpu.data.yolo_csv import read_yolo_csv
+from mit_driverless_cv_traininginfra_tpu.ops.boxes import calculate_padding
 from mit_driverless_cv_traininginfra_tpu.ops.patches import (
     filter_and_offset_labels,
     get_patch_bounds,
@@ -175,14 +176,8 @@ class ImageLabelDataset:
             ratio = None
         else:
             ow, oh = orig_img.size
-            if max(oh, ow) == oh:
-                new_w = oh * self.width / self.height
-                ratio = self.height / oh
-                vert_pad, horiz_pad = 0, int((new_w - ow) / 2)
-            else:
-                ratio = self.width / ow
-                new_h = ow * self.height / self.width
-                horiz_pad, vert_pad = 0, int((new_h - oh) / 2)
+            vert_pad, horiz_pad, ratio = calculate_padding(
+                oh, ow, self.height, self.width)
             padded = Image.new("RGB", (ow + 2 * horiz_pad, oh + 2 * vert_pad),
                                (127, 127, 127))
             padded.paste(orig_img, (horiz_pad, vert_pad))

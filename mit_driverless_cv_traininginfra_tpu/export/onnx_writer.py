@@ -142,7 +142,9 @@ def make_value_info(name: str, shape: Sequence[Optional[int]],
     dims = b""
     for d in shape:
         if d is None:
-            dims += _f_bytes(1, _f_string(3, "N"))
+            # TensorShapeProto.Dimension.dim_param is field 2 (field 3 is
+            # the denotation string)
+            dims += _f_bytes(1, _f_string(2, "N"))
         else:
             dims += _f_bytes(1, _f_varint(1, int(d)))
     tensor_type = _f_varint(1, elem_type) + _f_bytes(2, dims)

@@ -95,12 +95,22 @@ def export_yolo_onnx(spec: NetworkSpec, params, state, path: str,
             out = name
             pad = (b.size - 1) // 2
             if b.size == 2 and b.stride == 1:
-                pads = [0, 0, 1, 1]
+                # the trained graph ZERO-pads right/bottom before this pool
+                # (models.py:74-84 / darknet._maxpool); ONNX MaxPool pads
+                # with -inf, so emit an explicit constant-0 Pad node to keep
+                # the exported artifact numerically identical at the edges
+                pad_out = name + "_zeropad"
+                nodes.append(ox.make_node(
+                    "Pad", [prev], [pad_out], name=pad_out, mode="constant",
+                    pads=[0, 0, 0, 0, 0, 0, 1, 1], value=0.0))
+                nodes.append(ox.make_node("MaxPool", [pad_out], [out],
+                                          name=name, kernel_shape=[2, 2],
+                                          strides=[1, 1], pads=[0, 0, 0, 0]))
             else:
-                pads = [pad, pad, pad, pad]
-            nodes.append(ox.make_node("MaxPool", [prev], [out], name=name,
-                                      kernel_shape=[b.size, b.size],
-                                      strides=[b.stride, b.stride], pads=pads))
+                nodes.append(ox.make_node("MaxPool", [prev], [out], name=name,
+                                          kernel_shape=[b.size, b.size],
+                                          strides=[b.stride, b.stride],
+                                          pads=[pad, pad, pad, pad]))
             cur_h, cur_w = cur_h // b.stride, cur_w // b.stride
         elif isinstance(b, UpsampleBlock):
             out = name

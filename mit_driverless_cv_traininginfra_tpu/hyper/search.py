@@ -134,6 +134,10 @@ class Study:
                  sampler: Optional[TPESampler] = None, seed: Optional[int] = None):
         self.study_name = study_name
         self.path = os.path.join(storage_dir, f"{study_name}.json")
+        # lock lives on a file that is NEVER os.replace()d — locking the
+        # data file itself would leave two workers holding "the lock" on
+        # different inodes after an atomic rewrite
+        self.lock_path = os.path.join(storage_dir, f"{study_name}.lock")
         os.makedirs(storage_dir, exist_ok=True)
         self.sampler = sampler or TPESampler(seed=seed)
         self._specs: Dict[str, ParamSpec] = {}
@@ -146,7 +150,7 @@ class Study:
     # -- storage -----------------------------------------------------------
 
     def _locked(self, fn):
-        with open(self.path, "a+") as lock:
+        with open(self.lock_path, "a+") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
             try:
                 return fn()

@@ -52,12 +52,22 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)
 
 
-def pad_batch_to_devices(arr, n_devices: int):
-    """Zero-pad the leading axis to a multiple of the mesh size so the last
-    partial batch keeps the compiled shape. Returns (padded, n_real)."""
+def pad_batch_to_devices(arr, n_devices: int, mode: str = "repeat"):
+    """Pad the leading axis to a multiple of the mesh size so the last
+    partial batch keeps the compiled shape. Returns (padded, n_real).
+
+    mode="repeat" (default) wraps around onto real samples — zero padding
+    would poison the YOLO loss (an all-zero target row decodes to a
+    log(1e-16) wh target at cell (0,0)); repeating merely over-weights a
+    few samples in the one partial batch per epoch.
+    """
     n = arr.shape[0]
     rem = (-n) % n_devices
     if rem == 0:
         return arr, n
-    pad = np.zeros((rem,) + arr.shape[1:], dtype=arr.dtype)
-    return np.concatenate([arr, pad], axis=0), n
+    if mode == "repeat":
+        idx = np.arange(rem) % n
+        pad = np.asarray(arr)[idx]
+    else:
+        pad = np.zeros((rem,) + arr.shape[1:], dtype=arr.dtype)
+    return np.concatenate([np.asarray(arr), pad], axis=0), n

@@ -61,17 +61,21 @@ def run_epoch(*, label_prefix: str, data_loader, spec, tx, ts, mesh,
     xy, wh, obj, noobj = loss_consts
     n_dev = len(mesh.devices.ravel()) if mesh is not None else 1
 
-    it = iter(data_loader)
+    def with_host_counts(batches):
+        # count targets on the HOST batch before device_put — a device-side
+        # count would force a D2H sync per step and stall the prefetch queue
+        for u, imgs, labels in batches:
+            if mesh is not None:
+                imgs, labels = pad_pair(imgs, labels, n_dev)
+            n_t = float(((labels[:, :, 1:5] > 0).sum(axis=2) > 1).sum()) + 1e-12
+            yield u, imgs, labels, n_t
+
+    it = with_host_counts(iter(data_loader))
     if mesh is not None:
-        it = prefetch_to_device(
-            ((u, *pad_pair(imgs, labels, n_dev)) for u, imgs, labels in it), mesh
-        )
-    for i, (img_uri, imgs, targets) in enumerate(it):
+        it = prefetch_to_device(it, mesh)
+    for i, (img_uri, imgs, targets, step_num_targets) in enumerate(it):
         if step[0] >= num_steps:
             break
-        step_num_targets = float(
-            ((np.asarray(targets)[:, :, 1:5] > 0).sum(axis=2) > 1).sum()
-        ) + 1e-12
         epoch_num_targets += step_num_targets
 
         if optimize:

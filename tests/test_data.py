@@ -212,3 +212,45 @@ def test_generate_csvs_no_empty_images_keeps_train_split(yolo_dataset_dir, tmp_p
     train = read_yolo_csv(str(out / "train.csv"))
     validate = read_yolo_csv(str(out / "validate.csv"))
     assert len(train.rows) == 6 and len(validate.rows) == 0
+
+
+def test_prefetch_to_device_propagates_errors():
+    """A failing dataset must crash the epoch, not silently truncate it."""
+    from mit_driverless_cv_traininginfra_tpu.data.loader import prefetch_to_device
+
+    def bad_iter():
+        yield ["u"], np.zeros((2, 4, 4, 3), np.float32), np.zeros((2, 1, 5), np.float32)
+        raise RuntimeError("boom")
+
+    it = prefetch_to_device(bad_iter())
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)
+
+
+def test_dataloader_bounded_prefetch(yolo_dataset_dir):
+    """Only prefetch_batches batches may be decoded ahead of the consumer."""
+    import threading
+
+    csv_path, img_dir = yolo_dataset_dir
+    ds = ImageLabelDataset(csv_path, img_dir, width=128, height=128, ts=False)
+    in_flight = []
+    lock = threading.Lock()
+    orig = ds.__getitem__
+
+    consumed = [0]
+
+    def counting(i):
+        with lock:
+            in_flight.append(consumed[0])
+        return orig(i)
+
+    ds.__getitem__ = counting
+    dl = DataLoader(ds, batch_size=1, shuffle=False, num_workers=1,
+                    prefetch_batches=2)
+    for _ in dl:
+        consumed[0] += 1
+    # no item may have been scheduled more than prefetch_batches ahead
+    # of the number of batches consumed at submit time
+    for idx, consumed_at_submit in enumerate(in_flight):
+        assert idx - consumed_at_submit <= 2, (idx, consumed_at_submit)

@@ -122,7 +122,11 @@ def test_schedules_and_set_lr():
 
 
 def test_pad_batch_to_devices():
-    x = np.ones((5, 2), np.float32)
+    x = np.arange(10, dtype=np.float32).reshape(5, 2)
     padded, n = pad_batch_to_devices(x, 8)
     assert padded.shape == (8, 2) and n == 5
-    assert padded[5:].sum() == 0
+    # repeat-padding wraps onto real samples (zero rows would poison the
+    # YOLO loss via log(1e-16) wh targets)
+    np.testing.assert_array_equal(padded[5:], x[:3])
+    zp, _ = pad_batch_to_devices(x, 8, mode="zero")
+    assert zp[5:].sum() == 0
