@@ -34,9 +34,19 @@ BASELINE_FPS = 2000.0
 
 def main():
     from __graft_entry__ import _flagship_spec
-    from mit_driverless_cv_traininginfra_tpu.infer.pipeline import two_stage_pipeline
+    from mit_driverless_cv_traininginfra_tpu.infer.pipeline import (
+        two_stage_pipeline,
+        two_stage_pipeline_int8,
+    )
     from mit_driverless_cv_traininginfra_tpu.models import rektnet
     from mit_driverless_cv_traininginfra_tpu.models.darknet import fold_bn, init_params
+    from mit_driverless_cv_traininginfra_tpu.models.quantize import (
+        calibrate,
+        calibrate_rektnet,
+        quantize_packed_stem,
+        quantize_params,
+        quantize_rektnet_params,
+    )
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
@@ -69,12 +79,37 @@ def main():
     )
     frames = jax.device_put(frames, dev)
 
-    def run(f):
-        return two_stage_pipeline(
-            spec, folded, {}, rp, rs, f,
-            conf_thresh=0.8, nms_thresh=0.25, max_det=16,
-            packed_stem=packed,
-        )
+    use_int8 = on_tpu and "--bf16" not in sys.argv
+    if use_int8:
+        # int8 PTQ serving config (the reference's own deployment target is
+        # TensorRT, where int8 serving is the norm); calibration on random
+        # frames here — real deployments calibrate on dataset frames
+        to_f32 = lambda t: jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.float32), t)
+        folded32, packed32, rekt32 = to_f32(folded), to_f32(packed), to_f32(rp)
+        cal = jnp.asarray(
+            np.random.default_rng(2).uniform(0, 1, (2, 416, 416, 3)),
+            jnp.float32)
+        amax = calibrate(spec, folded32, cal)
+        yolo_q = quantize_params(spec, folded32, amax)
+        stem_q = quantize_packed_stem(packed32, amax)
+        crops_cal = jnp.asarray(
+            np.random.default_rng(3).uniform(0, 1, (8, 80, 80, 3)), jnp.float32)
+        rekt_q = quantize_rektnet_params(rekt32,
+                                         calibrate_rektnet(rekt32, crops_cal))
+
+        def run(f):
+            return two_stage_pipeline_int8(
+                spec, yolo_q, stem_q, rekt_q, f,
+                conf_thresh=0.8, nms_thresh=0.25, max_det=16,
+            )
+    else:
+        def run(f):
+            return two_stage_pipeline(
+                spec, folded, {}, rp, rs, f,
+                conf_thresh=0.8, nms_thresh=0.25, max_det=16,
+                packed_stem=packed,
+            )
 
     def sync(o):
         # NOTE: through the axon tunnel, block_until_ready() returns before

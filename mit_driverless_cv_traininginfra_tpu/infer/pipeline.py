@@ -86,3 +86,49 @@ def two_stage_pipeline(
     wh_box = (boxes[..., 2:4] - boxes[..., 0:2])[..., None, :]
     kpts = x0y0 + pts * wh_box
     return PipelineOut(boxes, scores, mask, kpts)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "conf_thresh", "nms_thresh", "max_det", "crop_size"),
+)
+def two_stage_pipeline_int8(
+    spec: NetworkSpec,
+    yolo_q,
+    stem_q,
+    rekt_q,
+    frames,
+    conf_thresh: float = 0.8,
+    nms_thresh: float = 0.25,
+    max_det: int = 16,
+    crop_size: int = 80,
+) -> PipelineOut:
+    """int8 serving configuration of the pipeline: quantized YOLO backbone
+    (incl. packed stem) and quantized RektNet, bf16 elsewhere. Params from
+    :mod:`models.quantize` (calibrate → quantize_params /
+    quantize_packed_stem / quantize_rektnet_params)."""
+    from mit_driverless_cv_traininginfra_tpu.models.quantize import (
+        apply_rektnet_int8,
+        detections_int8,
+    )
+
+    B = frames.shape[0]
+    dets = detections_int8(spec, yolo_q, frames, packed_stem_q=stem_q)
+
+    def post(d):
+        conf = d[:, 4]
+        xy, wh = d[:, 0:2], d[:, 2:4] / 2
+        corner = jnp.concatenate([xy - wh, xy + wh], axis=1)
+        scores = jnp.where(conf > conf_thresh, conf, -jnp.inf)
+        keep_idx, keep_mask = nms(corner, scores, overlap=nms_thresh, top_k=max_det)
+        return corner[keep_idx], conf[keep_idx], keep_mask
+
+    boxes, scores, mask = jax.vmap(post)(dets)
+    crops = roi_crop_bilinear(frames, boxes, crop_size, crop_size)
+    flat = crops.reshape(B * max_det, crop_size, crop_size, frames.shape[-1])
+    _, pts = apply_rektnet_int8(rekt_q, flat)
+    pts = pts.reshape(B, max_det, 7, 2)
+    x0y0 = boxes[..., None, 0:2]
+    wh_box = (boxes[..., 2:4] - boxes[..., 0:2])[..., None, :]
+    kpts = x0y0 + pts * wh_box
+    return PipelineOut(boxes, scores, mask, kpts)

@@ -89,40 +89,70 @@ def quantize_params(spec: NetworkSpec, folded_params, amax: Dict[str, float],
                 "b": jnp.asarray(p["b"], act_dtype),
             }
             continue
-        w = jnp.asarray(p["w"], jnp.float32)
-        s_w = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0  # (Cout,)
-        s_w = jnp.maximum(s_w, 1e-12)
-        wq = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
-        s_x = max(amax.get(str(i), 1.0), 1e-12) / 127.0
-        qparams[str(i)] = {
-            "wq": wq,
-            "scale": jnp.asarray(s_x * s_w, jnp.float32),
-            "b": jnp.asarray(p["b"], jnp.float32),
-            "sx_inv": jnp.float32(1.0 / s_x),
-        }
+        qparams[str(i)] = _quantize_conv(p["w"], p["b"], amax.get(str(i), 1.0))
     return qparams
 
 
-def _qconv(x, q, stride: int, padding: int, act_dtype):
+def _quantize_conv(w, b, amax_in: float):
+    w = jnp.asarray(w, jnp.float32)
+    s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
+    wq = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+    s_x = max(float(amax_in), 1e-12) / 127.0
+    return {
+        "wq": wq,
+        "scale": jnp.asarray(s_x * s_w, jnp.float32),
+        "b": jnp.asarray(b, jnp.float32),
+        "sx_inv": jnp.float32(1.0 / s_x),
+    }
+
+
+def _qconv(x, q, stride: int, padding, act_dtype, dilation: int = 1):
     """On-the-fly input quantization → int8 MXU conv → fused dequant+bias."""
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) * q["sx_inv"]),
                   -127, 127).astype(jnp.int8)
     acc = jax.lax.conv_general_dilated(
-        xq, q["wq"], (stride, stride), [(padding, padding), (padding, padding)],
+        xq, q["wq"], (stride, stride), padding,
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
     return (acc.astype(jnp.float32) * q["scale"] + q["b"]).astype(act_dtype)
 
 
+def quantize_packed_stem(packed, amax: Dict[str, float]):
+    """int8 version of the space-to-depth stem (stem_opt): conv1p's input
+    scale is the frame amax (block '0' input) and conv2p's is the plain
+    conv1 output amax (block '1' input) — packing only reorders pixels."""
+    return {
+        "c1": _quantize_conv(packed["w1"], packed["b1"], amax["0"]),
+        "c2": _quantize_conv(packed["w2"], packed["b2"], amax["1"]),
+    }
+
+
 def forward_features_int8(spec: NetworkSpec, qparams, x,
-                          act_dtype=jnp.bfloat16):
+                          act_dtype=jnp.bfloat16, packed_stem_q=None):
     """int8 twin of ``forward_features`` (inference only). Returns the raw
-    pre-yolo head outputs."""
+    pre-yolo head outputs. ``packed_stem_q`` (from
+    :func:`quantize_packed_stem`) replaces blocks 0/1 with the int8
+    space-to-depth stem — without it the 3-channel first conv alone costs
+    as much as a third of the backbone."""
+    from mit_driverless_cv_traininginfra_tpu.models.stem_opt import pack_input
+
     outputs = []
     layer_outputs = []
     x = jnp.asarray(x, act_dtype)
-    for i, b in enumerate(spec.blocks):
+    start = 0
+    if packed_stem_q is not None:
+        xp = pack_input(x)
+        h = _qconv(xp, packed_stem_q["c1"], 1, 1, act_dtype)
+        h = _leaky(h, spec.net.leaky_slope)
+        x = _qconv(h, packed_stem_q["c2"], 1, [(1, 0), (1, 0)], act_dtype)
+        x = _leaky(x, spec.net.leaky_slope)
+        layer_outputs = [x, x]  # slot 0 never routed to in this graph
+        start = 2
+    for i, b in list(enumerate(spec.blocks))[start:]:
         if isinstance(b, ConvBlock):
             q = qparams[str(i)]
             pad = (b.size - 1) // 2
@@ -148,11 +178,82 @@ def forward_features_int8(spec: NetworkSpec, qparams, x,
     return outputs
 
 
-def detections_int8(spec: NetworkSpec, qparams, x, act_dtype=jnp.bfloat16):
+# ---------------------------------------------------------------------------
+# RektNet
+# ---------------------------------------------------------------------------
+
+
+def calibrate_rektnet(folded, crops) -> Dict[str, float]:
+    """Record per-conv input amax over calibration crops for the BN-folded
+    RektNet (rektnet.fold_bn output)."""
+    amax: Dict[str, float] = {}
+    x = jnp.asarray(crops, jnp.float32)
+
+    def note(name, v):
+        amax[name] = float(jnp.max(jnp.abs(v)))
+        return v
+
+    h = jax.nn.relu(conv2d(note("stem", x), folded["stem"]["w"],
+                           folded["stem"]["b"], padding=3))
+    for i in range(1, 5):
+        p = folded[f"res{i}"]
+        a1 = jax.nn.relu(conv2d(note(f"res{i}.conv1", h), p["conv1"]["w"],
+                                p["conv1"]["b"], padding=2, dilation=2))
+        b2 = conv2d(note(f"res{i}.conv2", a1), p["conv2"]["w"],
+                    p["conv2"]["b"], padding=1)
+        sc = conv2d(h, p["shortcut_conv"]["w"], p["shortcut_conv"]["b"])
+        amax[f"res{i}.shortcut_conv"] = amax[f"res{i}.conv1"]
+        h = jax.nn.relu(sc + b2)
+    amax["out"] = float(jnp.max(jnp.abs(h)))
+    return amax
+
+
+def quantize_rektnet_params(folded, amax: Dict[str, float]):
+    """BN-folded RektNet params → int8. The 1×1 output head stays f32
+    (negligible FLOPs, heatmap-logit-sensitive)."""
+    q = {"stem": _quantize_conv(folded["stem"]["w"], folded["stem"]["b"],
+                                amax["stem"]),
+         "out": {"w": jnp.asarray(folded["out"]["w"], jnp.float32),
+                 "b": jnp.asarray(folded["out"]["b"], jnp.float32)}}
+    for i in range(1, 5):
+        p = folded[f"res{i}"]
+        q[f"res{i}"] = {
+            "conv1": _quantize_conv(p["conv1"]["w"], p["conv1"]["b"],
+                                    amax[f"res{i}.conv1"]),
+            "conv2": _quantize_conv(p["conv2"]["w"], p["conv2"]["b"],
+                                    amax[f"res{i}.conv2"]),
+            "shortcut_conv": _quantize_conv(p["shortcut_conv"]["w"],
+                                            p["shortcut_conv"]["b"],
+                                            amax[f"res{i}.shortcut_conv"]),
+        }
+    return q
+
+
+def apply_rektnet_int8(q, x, act_dtype=jnp.bfloat16, hm_only: bool = False):
+    """int8 serving twin of ``rektnet.apply_folded``."""
+    from mit_driverless_cv_traininginfra_tpu.models.rektnet import soft_argmax_2d
+
+    h = jax.nn.relu(_qconv(x, q["stem"], 1, 3, act_dtype))
+    for i in range(1, 5):
+        p = q[f"res{i}"]
+        a1 = jax.nn.relu(_qconv(h, p["conv1"], 1, 2, act_dtype, dilation=2))
+        b2 = _qconv(a1, p["conv2"], 1, 1, act_dtype)
+        sc = _qconv(h, p["shortcut_conv"], 1, 0, act_dtype)
+        h = jax.nn.relu(sc + b2)
+    logits = conv2d(h.astype(jnp.float32), q["out"]["w"], q["out"]["b"])
+    if hm_only:
+        return logits
+    logits_bkhw = jnp.transpose(logits, (0, 3, 1, 2))
+    points, probs = soft_argmax_2d(logits_bkhw)
+    return probs, points
+
+
+def detections_int8(spec: NetworkSpec, qparams, x, act_dtype=jnp.bfloat16,
+                    packed_stem_q=None):
     """int8 eval forward + standard decode. Returns (B, ΣA·H·W, 5+C)."""
     from mit_driverless_cv_traininginfra_tpu.models.darknet import decode_head
 
-    heads = forward_features_int8(spec, qparams, x, act_dtype)
+    heads = forward_features_int8(spec, qparams, x, act_dtype, packed_stem_q)
     yolo_blocks = [b for b in spec.blocks if isinstance(b, YoloBlock)]
     decoded = [
         decode_head(h.astype(jnp.float32), yb.anchors, spec.net.height,

@@ -66,3 +66,57 @@ def test_calibration_covers_all_convs():
                   if type(b).__name__ == "ConvBlock")
     assert len(amax) == n_convs
     assert all(v > 0 for v in amax.values())
+
+
+def test_packed_stem_quantization_tracks_f32():
+    from mit_driverless_cv_traininginfra_tpu.models.quantize import (
+        _qconv,
+        quantize_packed_stem,
+    )
+    from mit_driverless_cv_traininginfra_tpu.models.stem_opt import (
+        apply_packed_stem,
+        build_packed_stem,
+        pack_input,
+    )
+    from mit_driverless_cv_traininginfra_tpu.config.cfg_factory import yolov3_cfg
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".cfg", delete=False) as f:
+        f.write(yolov3_cfg(width=64, height=64, classes=1))
+        path = f.name
+    spec = load_network_spec(path, vanilla_anchor=True)
+    params, state = init_params(spec, jax.random.PRNGKey(3))
+    folded = fold_bn(params, state, spec)
+    packed = build_packed_stem(folded)
+    x = jnp.asarray(np.random.default_rng(4).uniform(0, 1, (1, 64, 64, 3)),
+                    jnp.float32)
+    ref = apply_packed_stem(packed, x, spec.net.leaky_slope)
+    amax = calibrate(spec, folded, x)
+    sq = quantize_packed_stem(packed, amax)
+    h = _qconv(pack_input(x), sq["c1"], 1, 1, jnp.float32)
+    h = jnp.where(h >= 0, h, h * spec.net.leaky_slope)
+    got = _qconv(h, sq["c2"], 1, [(1, 0), (1, 0)], jnp.float32)
+    got = jnp.where(got >= 0, got, got * spec.net.leaky_slope)
+    err = np.abs(np.asarray(ref) - np.asarray(got))
+    assert err.mean() < 0.02 * float(jnp.abs(ref).mean() + 1e-6)
+
+
+def test_rektnet_int8_tracks_f32():
+    from mit_driverless_cv_traininginfra_tpu.models import rektnet
+    from mit_driverless_cv_traininginfra_tpu.models.quantize import (
+        apply_rektnet_int8,
+        calibrate_rektnet,
+        quantize_rektnet_params,
+    )
+
+    params, state = rektnet.init(jax.random.PRNGKey(5))
+    folded = rektnet.fold_bn(params, state)
+    crops = jnp.asarray(np.random.default_rng(6).uniform(0, 1, (4, 80, 80, 3)),
+                        jnp.float32)
+    amax = calibrate_rektnet(folded, crops)
+    q = quantize_rektnet_params(folded, amax)
+    _, pts_ref = rektnet.apply_folded(folded, crops)
+    _, pts_q = apply_rektnet_int8(q, crops, act_dtype=jnp.float32)
+    # keypoints move by at most a few grid cells under int8 PTQ on
+    # random (worst-case) weights
+    assert float(jnp.abs(pts_ref - pts_q).mean()) < 0.05
