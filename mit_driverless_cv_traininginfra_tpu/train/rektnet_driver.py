@@ -27,7 +27,12 @@ from mit_driverless_cv_traininginfra_tpu.ops.heatmap import (
     keypoint_distance_summary,
     keypoint_l2_distances,
 )
-from mit_driverless_cv_traininginfra_tpu.parallel.mesh import make_mesh, replicate
+from mit_driverless_cv_traininginfra_tpu.parallel.mesh import (
+    make_mesh,
+    pad_batch_to_devices,
+    replicate,
+    shard_batch,
+)
 from mit_driverless_cv_traininginfra_tpu.train.checkpoints import save_rektnet_pt
 from mit_driverless_cv_traininginfra_tpu.train.optim import (
     exponential_lr,
@@ -146,6 +151,12 @@ def main(*, train_dataset_uri: str, dataset_path: str,
         total_loss = [0.0, 0.0, 0.0]
         batch_num = 0
         for imgs, hms, pts, _, _ in train_loader:
+            if mesh is not None:
+                n_dev = len(mesh.devices.ravel())
+                imgs, _ = pad_batch_to_devices(imgs, n_dev)
+                hms, _ = pad_batch_to_devices(hms, n_dev)
+                pts, _ = pad_batch_to_devices(pts, n_dev)
+                imgs, hms, pts = shard_batch(mesh, (imgs, hms, pts))
             ts, total, loc, geo = rektnet_train_step(tx, ts, imgs, hms, pts,
                                                      **loss_kw)
             total_loss[0] += float(loc)
