@@ -38,6 +38,7 @@ def main(argv=None) -> int:
     add_bool_arg(parser, "save_checkpoints", True, "save checkpoints")
     add_bool_arg(parser, "cross_batch_geo", True,
                  "reference cross-batch geo-loss semantics")
+    add_bool_arg(parser, "mixed_precision", False, "bf16 compute with f32 master weights")
     add_bool_arg(parser, "vis_upload_data", False, "visualize the dataset")
     opt = parser.parse_args(argv)
 
@@ -70,6 +71,7 @@ def main(argv=None) -> int:
         num_workers=opt.num_workers,
         n_devices=opt.n_devices,
         seed=opt.seed,
+        mixed_precision=opt.mixed_precision,
     )
     return 0
 

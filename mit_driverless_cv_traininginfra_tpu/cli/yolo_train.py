@@ -42,6 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=17)
     boolarg("evaluate", False, "evaluate only, no training")
     boolarg("resume", False, "resume from the output_path orbax checkpoint")
+    boolarg("mixed_precision", False, "bf16 compute with f32 master weights")
     boolarg("augment_affine", False, "enable affine augmentation")
     boolarg("augment_hsv", False, "enable HSV jitter")
     boolarg("lr_flip", False, "enable left-right flips")

@@ -60,16 +60,21 @@ def batch_norm(x, bn: Dict[str, jnp.ndarray], train: bool = False):
     ``running_var`` but normalises with the biased one).
     """
     if train:
-        mean = jnp.mean(x, axis=(0, 1, 2))
-        var = jnp.var(x, axis=(0, 1, 2))
+        # batch statistics always accumulate in f32 — bf16 mean/var over
+        # hundreds of thousands of elements loses too many mantissa bits
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.var(xf, axis=(0, 1, 2))
         n = x.shape[0] * x.shape[1] * x.shape[2]
         var_unbiased = var * n / max(n - 1, 1)
         stats = (mean, var_unbiased)
     else:
         mean, var = bn["mean"], bn["var"]
         stats = None
-    inv = jax.lax.rsqrt(var + BN_EPS)
-    return (x - mean) * (inv * bn["scale"]) + bn["bias"], stats
+    inv = jax.lax.rsqrt(var.astype(jnp.float32) + BN_EPS)
+    scale = (inv * bn["scale"].astype(jnp.float32)).astype(x.dtype)
+    bias = bn["bias"].astype(x.dtype)
+    return (x - mean.astype(x.dtype)) * scale + bias, stats
 
 
 def update_running(bn_state, batch_stats, momentum: float = BN_MOMENTUM):

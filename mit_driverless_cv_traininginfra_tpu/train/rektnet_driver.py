@@ -112,6 +112,7 @@ def main(*, train_dataset_uri: str, dataset_path: str,
          save_checkpoints: bool = True, cache_location: Optional[str] = None,
          checkpoint_path: Optional[str] = None, num_workers: int = 0,
          n_devices: Optional[int] = None, seed: int = 17,
+         mixed_precision: bool = False,
          kpt_keys: Sequence[str] = tuple(DEFAULT_KEYPOINT_KEYS)):
     os.makedirs(output_path, exist_ok=True)
     ti, tl, vi, vl = load_train_csv_dataset(
@@ -157,8 +158,10 @@ def main(*, train_dataset_uri: str, dataset_path: str,
                 hms, _ = pad_batch_to_devices(hms, n_dev)
                 pts, _ = pad_batch_to_devices(pts, n_dev)
                 imgs, hms, pts = shard_batch(mesh, (imgs, hms, pts))
-            ts, total, loc, geo = rektnet_train_step(tx, ts, imgs, hms, pts,
-                                                     **loss_kw)
+            ts, total, loc, geo = rektnet_train_step(
+                tx, ts, imgs, hms, pts,
+                compute_dtype="bfloat16" if mixed_precision else "float32",
+                **loss_kw)
             total_loss[0] += float(loc)
             total_loss[1] += float(geo)
             total_loss[2] += float(total)

@@ -50,7 +50,8 @@ LOSS_LABELS = ["Total", "L-x", "L-y", "L-w", "L-h", "L-obj", "L-noobj"]
 
 
 def run_epoch(*, label_prefix: str, data_loader, spec, tx, ts, mesh,
-              num_steps: int, step, epoch: int, loss_consts, optimize: bool):
+              num_steps: int, step, epoch: int, loss_consts, optimize: bool,
+              compute_dtype: str = "float32"):
     """Shared train/validate epoch loop (train.py:49-93). Returns
     (epoch_losses[7], epoch_time_total, epoch_num_targets, ts)."""
     print(f"Model in {label_prefix} mode")
@@ -82,6 +83,7 @@ def run_epoch(*, label_prefix: str, data_loader, spec, tx, ts, mesh,
             ts, loss, comps = yolo_train_step(
                 spec, tx, ts, imgs, targets,
                 xy_loss=xy, wh_loss=wh, object_loss=obj, no_object_loss=noobj,
+                compute_dtype=compute_dtype,
             )
         else:
             loss, comps = yolo_eval_step(
@@ -152,6 +154,7 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
          contrast: bool = False, sharpen: bool = False,
          val_tolerance: int = 3, min_epochs: int = 3,
          vis_batch: int = 0, resume: bool = False,
+         mixed_precision: bool = False,
          debug_mode: bool = False, evaluate: bool = False,
          num_workers: int = 8, n_devices: Optional[int] = None,
          seed: int = 17):
@@ -212,7 +215,8 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
         _, _, _, ts_state = run_epoch(
             label_prefix="train", data_loader=train_loader, spec=spec, tx=tx,
             ts=ts_state, mesh=mesh, num_steps=num_steps, step=step,
-            epoch=epoch, loss_consts=loss_consts, optimize=True)
+            epoch=epoch, loss_consts=loss_consts, optimize=True,
+            compute_dtype="bfloat16" if mixed_precision else "float32")
         print("Completed epoch: ", epoch)
 
         if epoch % checkpoint_interval == 0 or epoch == num_epochs or step[0] >= num_steps:

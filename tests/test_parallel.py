@@ -130,3 +130,34 @@ def test_pad_batch_to_devices():
     np.testing.assert_array_equal(padded[5:], x[:3])
     zp, _ = pad_batch_to_devices(x, 8, mode="zero")
     assert zp[5:].sum() == 0
+
+
+def test_mixed_precision_train_step_tracks_f32():
+    """bf16 compute with f32 master weights: one step's update direction
+    agrees with the f32 step."""
+    spec = load_network_spec(FIXTURE, vanilla_anchor=True)
+    params, mstate = init_params(spec, jax.random.PRNGKey(0))
+    tx = make_optimizer("SGD", lr=1e-2)
+    imgs = jnp.asarray(np.random.default_rng(9).uniform(0, 1, (4, 64, 64, 3)),
+                       jnp.float32)
+    tgts = _targets(4, seed=9)
+
+    ts32 = init_train_state(*jax.tree_util.tree_map(jnp.array, (params, mstate)), tx)
+    ts16 = init_train_state(*jax.tree_util.tree_map(jnp.array, (params, mstate)), tx)
+    ts32, l32, _ = yolo_train_step(spec, tx, ts32, imgs, tgts)
+    ts16, l16, _ = yolo_train_step(spec, tx, ts16, imgs, tgts,
+                                   compute_dtype="bfloat16")
+    assert abs(float(l32) - float(l16)) / max(abs(float(l32)), 1e-6) < 0.05
+    # params stay f32 master copies
+    leaf = jax.tree_util.tree_leaves(ts16.params)[0]
+    assert leaf.dtype == jnp.float32
+    # update direction strongly correlated with the f32 step
+    d32 = jnp.concatenate([
+        (a - b).ravel() for a, b in zip(jax.tree_util.tree_leaves(ts32.params),
+                                        jax.tree_util.tree_leaves(params))])
+    d16 = jnp.concatenate([
+        (a - b).ravel() for a, b in zip(jax.tree_util.tree_leaves(ts16.params),
+                                        jax.tree_util.tree_leaves(params))])
+    cos = float(jnp.dot(d32, d16) /
+                (jnp.linalg.norm(d32) * jnp.linalg.norm(d16) + 1e-12))
+    assert cos > 0.7, cos  # bf16 grads on a random-init net: aligned, not identical
