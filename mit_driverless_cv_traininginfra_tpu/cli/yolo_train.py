@@ -43,6 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
     boolarg("evaluate", False, "evaluate only, no training")
     boolarg("resume", False, "resume from the output_path orbax checkpoint")
     boolarg("mixed_precision", False, "bf16 compute with f32 master weights")
+    boolarg("device_aug", False, "run augmentation on-device inside the train step")
     boolarg("augment_affine", False, "enable affine augmentation")
     boolarg("augment_hsv", False, "enable HSV jitter")
     boolarg("lr_flip", False, "enable left-right flips")

@@ -74,6 +74,7 @@ class ImageLabelDataset:
         ts: bool = True,
         debug_mode: bool = False,
         seed: int = 17,
+        device_aug: bool = False,
     ):
         table = read_yolo_csv(path)
         self.img_files: List[str] = []
@@ -124,6 +125,10 @@ class ImageLabelDataset:
         self.contrast = contrast
         self.sharpen = sharpen
         self._np_rng = np.random.default_rng(seed)
+        # device_aug: skip all host-side augmentation and keep labels in
+        # pixel corner format — ops.device_aug.augment_batch runs inside the
+        # jitted train step instead (BASELINE: on-device XLA preprocessing)
+        self.device_aug = device_aug
 
     def __len__(self) -> int:
         return len(self.img_files)
@@ -204,6 +209,10 @@ class ImageLabelDataset:
             labels[:, 1:5] *= ratio
             if self.vis_batch:
                 self._vis(img, labels, "pad_resized", "blue")
+
+        if self.device_aug:
+            arr = np.asarray(img, np.float32) / 255.0
+            return img_uri, arr, self._pad_labels(labels.astype(np.float32))
 
         if self.vis_batch and self.data_aug:
             self._vis(img, labels, "before_aug", "red")

@@ -106,6 +106,72 @@ def yolo_eval_step(
     return yolo_loss(spec, heads, targets, xy_loss, wh_loss, object_loss, no_object_loss)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "tx", "xy_loss", "wh_loss", "object_loss",
+                     "no_object_loss", "compute_dtype", "augment_affine",
+                     "lr_flip", "jitter", "noise"),
+    donate_argnames=("ts",),
+)
+def yolo_train_step_device_aug(
+    spec: NetworkSpec,
+    tx,
+    ts: TrainState,
+    images,
+    labels_px,
+    key,
+    xy_loss: float = 2.0,
+    wh_loss: float = 1.6,
+    object_loss: float = 0.1,
+    no_object_loss: float = 25.0,
+    compute_dtype: str = "float32",
+    augment_affine: bool = True,
+    lr_flip: bool = True,
+    jitter: bool = True,
+    noise: bool = False,
+):
+    """Train step with ON-DEVICE augmentation fused in front of the model:
+    the host ships raw letterboxed/patched images and pixel-corner labels
+    (ImageLabelDataset(device_aug=True)); augment_batch + the xywh
+    normalisation run inside this jit, so augmentation parallelises over
+    the DP mesh and overlaps the previous step's epilogue."""
+    from mit_driverless_cv_traininginfra_tpu.ops.device_aug import augment_batch
+
+    cdt = jnp.dtype(compute_dtype)
+    B, H, W, _ = images.shape
+    images, labels_px = augment_batch(key, images, labels_px,
+                                      augment_affine=augment_affine,
+                                      lr_flip=lr_flip, jitter=jitter,
+                                      noise=noise)
+    valid = jnp.sum(labels_px, axis=-1, keepdims=True) > 0
+    x1, y1 = labels_px[..., 1], labels_px[..., 2]
+    x2, y2 = labels_px[..., 3], labels_px[..., 4]
+    targets = jnp.stack([
+        labels_px[..., 0],
+        (x1 + x2) / 2 / W,
+        (y1 + y2) / 2 / H,
+        jnp.abs(x2 - x1) / W,
+        jnp.abs(y2 - y1) / H,
+    ], axis=-1)
+    targets = jnp.where(valid, targets, 0.0)
+
+    def loss_fn(params):
+        p = jax.tree_util.tree_map(lambda v: v.astype(cdt), params) \
+            if cdt != jnp.float32 else params
+        heads, new_state = forward_features(spec, p, ts.model_state,
+                                            images.astype(cdt), train=True)
+        heads = [h.astype(jnp.float32) for h in heads]
+        loss, comps = yolo_loss(spec, heads, targets, xy_loss, wh_loss,
+                                object_loss, no_object_loss)
+        return loss, (comps, new_state)
+
+    (loss, (comps, new_state)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(ts.params)
+    updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+    params = optax.apply_updates(ts.params, updates)
+    return TrainState(params, new_state, opt_state, ts.step + 1), loss, comps
+
+
 # ---------------------------------------------------------------------------
 # RektNet
 # ---------------------------------------------------------------------------

@@ -43,6 +43,7 @@ from mit_driverless_cv_traininginfra_tpu.train.steps import (
     init_train_state,
     yolo_eval_step,
     yolo_train_step,
+    yolo_train_step_device_aug,
 )
 from mit_driverless_cv_traininginfra_tpu.utils.logger import write_score_file
 
@@ -51,7 +52,8 @@ LOSS_LABELS = ["Total", "L-x", "L-y", "L-w", "L-h", "L-obj", "L-noobj"]
 
 def run_epoch(*, label_prefix: str, data_loader, spec, tx, ts, mesh,
               num_steps: int, step, epoch: int, loss_consts, optimize: bool,
-              compute_dtype: str = "float32"):
+              compute_dtype: str = "float32", device_aug: bool = False,
+              aug_key=None):
     """Shared train/validate epoch loop (train.py:49-93). Returns
     (epoch_losses[7], epoch_time_total, epoch_num_targets, ts)."""
     print(f"Model in {label_prefix} mode")
@@ -79,7 +81,14 @@ def run_epoch(*, label_prefix: str, data_loader, spec, tx, ts, mesh,
             break
         epoch_num_targets += step_num_targets
 
-        if optimize:
+        if optimize and device_aug:
+            key = jax.random.fold_in(aug_key, step[0])
+            ts, loss, comps = yolo_train_step_device_aug(
+                spec, tx, ts, imgs, targets, key,
+                xy_loss=xy, wh_loss=wh, object_loss=obj, no_object_loss=noobj,
+                compute_dtype=compute_dtype,
+            )
+        elif optimize:
             ts, loss, comps = yolo_train_step(
                 spec, tx, ts, imgs, targets,
                 xy_loss=xy, wh_loss=wh, object_loss=obj, no_object_loss=noobj,
@@ -154,7 +163,7 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
          contrast: bool = False, sharpen: bool = False,
          val_tolerance: int = 3, min_epochs: int = 3,
          vis_batch: int = 0, resume: bool = False,
-         mixed_precision: bool = False,
+         mixed_precision: bool = False, device_aug: bool = False,
          debug_mode: bool = False, evaluate: bool = False,
          num_workers: int = 8, n_devices: Optional[int] = None,
          seed: int = 17):
@@ -170,7 +179,7 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
         augment_affine=augment_affine, augment_hsv=augment_hsv,
         lr_flip=lr_flip, ud_flip=ud_flip, data_aug=data_aug, blur=blur,
         salt=salt, noise=noise, contrast=contrast, sharpen=sharpen,
-        vis_batch=vis_batch, **common)
+        vis_batch=vis_batch, device_aug=device_aug, **common)
     val_ds = ImageLabelDataset(
         spec.net.validate_uri, num_images=spec.net.num_validate_images, **common)
     bs = 1 if debug_mode else batch_size
@@ -216,7 +225,9 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
             label_prefix="train", data_loader=train_loader, spec=spec, tx=tx,
             ts=ts_state, mesh=mesh, num_steps=num_steps, step=step,
             epoch=epoch, loss_consts=loss_consts, optimize=True,
-            compute_dtype="bfloat16" if mixed_precision else "float32")
+            compute_dtype="bfloat16" if mixed_precision else "float32",
+            device_aug=device_aug,
+            aug_key=jax.random.PRNGKey(seed * 7919 + epoch))
         print("Completed epoch: ", epoch)
 
         if epoch % checkpoint_interval == 0 or epoch == num_epochs or step[0] >= num_steps:

@@ -224,3 +224,17 @@ def test_yolo_driver_resume(yolo_train_env):
     # epoch 1 already done → resumed run only writes epoch 2 weights
     assert os.path.exists(os.path.join(out, "2.weights"))
     assert open(os.path.join(out, "orbax_latest.meta")).read() == "2"
+
+
+def test_yolo_driver_device_aug(yolo_train_env):
+    """On-device augmentation path: full epoch trains with finite loss."""
+    from mit_driverless_cv_traininginfra_tpu.train import yolo_driver
+
+    cfg_path, img_dir, tmp_path = yolo_train_env
+    val_loss = yolo_driver.main(
+        model_cfg=cfg_path, weights_path=None,
+        output_path=str(tmp_path / "out_devaug"), dataset_path=img_dir,
+        batch_size=4, num_epochs=1, checkpoint_interval=1, lr=1e-4,
+        vanilla_anchor=True, ts=False, num_workers=2, val_tolerance=99,
+        min_epochs=3, device_aug=True, mixed_precision=True)
+    assert np.isfinite(val_loss)
