@@ -39,6 +39,7 @@ def main(argv=None) -> int:
     add_bool_arg(parser, "cross_batch_geo", True,
                  "reference cross-batch geo-loss semantics")
     add_bool_arg(parser, "mixed_precision", False, "bf16 compute with f32 master weights")
+    add_bool_arg(parser, "device_targets", False, "synthesise heatmap targets on-device")
     add_bool_arg(parser, "vis_upload_data", False, "visualize the dataset")
     opt = parser.parse_args(argv)
 
@@ -72,6 +73,7 @@ def main(argv=None) -> int:
         n_devices=opt.n_devices,
         seed=opt.seed,
         mixed_precision=opt.mixed_precision,
+        device_targets=opt.device_targets,
     )
     return 0
 

@@ -110,12 +110,17 @@ def load_train_csv_dataset(
 class ConeDataset:
     def __init__(self, images, labels, dataset_path: str,
                  target_image_size: Tuple[int, int] = (80, 80),
-                 vis_dataloader: bool = False):
+                 vis_dataloader: bool = False,
+                 compute_heatmaps: bool = True):
         self.images = images
         self.labels = labels
         self.dataset_path = dataset_path
         self.target_image_size = tuple(target_image_size)
         self.vis_dataloader = vis_dataloader
+        # compute_heatmaps=False: ship a placeholder — targets are
+        # synthesised on-device (ops.heatmap.gaussian_heatmaps) inside the
+        # train step, freeing the (single-core) host of cv2 resize+blur work
+        self.compute_heatmaps = compute_heatmaps
 
     def __len__(self) -> int:
         return len(self.images)
@@ -129,8 +134,12 @@ class ConeDataset:
         name = str(self.images[index]).split(".")[0]
         image = prep_image(image, self.target_image_size)
 
-        hm = prep_label(np.asarray(self.labels[index]), self.target_image_size,
-                        orig_size, str(self.images[index]))
+        if self.compute_heatmaps:
+            hm = prep_label(np.asarray(self.labels[index]),
+                            self.target_image_size, orig_size,
+                            str(self.images[index]))
+        else:
+            hm = np.zeros((len(self.labels[index]), 1, 1), np.float32)
         h_scale, w_scale = get_scale(orig_size, self.target_image_size)
         pts = scale_keypoints(self.labels[index], h_scale, w_scale).astype(np.float32)
         pts = pts / self.target_image_size[0]

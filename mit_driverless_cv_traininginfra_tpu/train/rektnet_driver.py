@@ -112,15 +112,17 @@ def main(*, train_dataset_uri: str, dataset_path: str,
          save_checkpoints: bool = True, cache_location: Optional[str] = None,
          checkpoint_path: Optional[str] = None, num_workers: int = 0,
          n_devices: Optional[int] = None, seed: int = 17,
-         mixed_precision: bool = False,
+         mixed_precision: bool = False, device_targets: bool = False,
          kpt_keys: Sequence[str] = tuple(DEFAULT_KEYPOINT_KEYS)):
     os.makedirs(output_path, exist_ok=True)
     ti, tl, vi, vl = load_train_csv_dataset(
         train_dataset_uri, validation_percent=validation_ratio,
         keypoint_keys=kpt_keys, dataset_path=dataset_path,
         cache_location=cache_location)
-    train_loader = RektNetLoader(ConeDataset(ti, tl, dataset_path, input_size),
-                                 batch_size, num_workers)
+    train_loader = RektNetLoader(
+        ConeDataset(ti, tl, dataset_path, input_size,
+                    compute_heatmaps=not device_targets),
+        batch_size, num_workers)
     val_loader = RektNetLoader(ConeDataset(vi, vl, dataset_path, input_size),
                                batch_size, num_workers)
 
@@ -161,6 +163,7 @@ def main(*, train_dataset_uri: str, dataset_path: str,
             ts, total, loc, geo = rektnet_train_step(
                 tx, ts, imgs, hms, pts,
                 compute_dtype="bfloat16" if mixed_precision else "float32",
+                synth_target_sigma=1.0 if device_targets else 0.0,
                 **loss_kw)
             total_loss[0] += float(loc)
             total_loss[1] += float(geo)

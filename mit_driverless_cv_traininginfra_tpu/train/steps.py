@@ -180,7 +180,7 @@ def yolo_train_step_device_aug(
 @functools.partial(
     jax.jit,
     static_argnames=("tx", "loss_type", "include_geo", "cross_batch",
-                     "compute_dtype"),
+                     "compute_dtype", "synth_target_sigma"),
     donate_argnames=("ts",),
 )
 def rektnet_train_step(
@@ -195,9 +195,23 @@ def rektnet_train_step(
     geo_loss_gamma_vert: float = 0.0,
     cross_batch: bool = True,
     compute_dtype: str = "float32",
+    synth_target_sigma: float = 0.0,
 ):
-    """One DP train step (train_eval.py:52-85 semantics)."""
+    """One DP train step (train_eval.py:52-85 semantics).
+
+    ``synth_target_sigma > 0`` ignores ``target_hm`` and synthesises the
+    heatmap targets ON DEVICE as unit-sum gaussians around
+    ``target_points`` (ops.heatmap.gaussian_heatmaps) — the host then only
+    ships 7 points per crop instead of 7 full heatmaps."""
     cdt = jnp.dtype(compute_dtype)
+    if synth_target_sigma > 0:
+        from mit_driverless_cv_traininginfra_tpu.ops.heatmap import (
+            gaussian_heatmaps,
+        )
+
+        h, w = images.shape[1], images.shape[2]
+        target_hm = gaussian_heatmaps(target_points, h, w,
+                                      sigma=synth_target_sigma)
 
     def loss_fn(params):
         p = jax.tree_util.tree_map(lambda v: v.astype(cdt), params) \

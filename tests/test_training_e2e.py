@@ -238,3 +238,16 @@ def test_yolo_driver_device_aug(yolo_train_env):
         vanilla_anchor=True, ts=False, num_workers=2, val_tolerance=99,
         min_epochs=3, device_aug=True, mixed_precision=True)
     assert np.isfinite(val_loss)
+
+
+def test_rektnet_driver_device_targets(rektnet_train_env):
+    from mit_driverless_cv_traininginfra_tpu.train import rektnet_driver
+
+    csv_path, img_dir, tmp_path = rektnet_train_env
+    best = rektnet_driver.main(
+        train_dataset_uri=csv_path, dataset_path=img_dir,
+        output_path=str(tmp_path / "out_dt"), batch_size=4, num_epochs=1,
+        lr=1e-3, validation_ratio=0.25, study_name="dtstudy",
+        loss_type="l2_heatmap", device_targets=True, mixed_precision=True,
+        save_checkpoints=False)
+    assert np.isfinite(best)
