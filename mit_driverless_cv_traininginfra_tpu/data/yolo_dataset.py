@@ -211,6 +211,18 @@ class ImageLabelDataset:
                 self._vis(img, labels, "pad_resized", "blue")
 
         if self.device_aug:
+            # host keeps only the affine (PIL's C warp is cheap; the
+            # equivalent on-device gather costs ~6 ms/frame) — photometric
+            # jitter/flip/noise run on-device in the train step
+            if self.augment_affine or self.data_aug:
+                img_w, img_h = img.size
+                angle = rng.uniform(-10, 10)
+                translate = (rng.uniform(-40, 40), rng.uniform(-40, 40))
+                sc = rng.uniform(0.9, 1.1)
+                shear = rng.uniform(-3, 3)
+                img = A.affine_image(img, angle, translate, sc, shear)
+                labels = A.affine_labels(img_h, img_w, labels, -angle,
+                                         translate, sc, (-shear, 0))
             arr = np.asarray(img, np.float32) / 255.0
             return img_uri, arr, self._pad_labels(labels.astype(np.float32))
 

@@ -125,7 +125,7 @@ def yolo_train_step_device_aug(
     object_loss: float = 0.1,
     no_object_loss: float = 25.0,
     compute_dtype: str = "float32",
-    augment_affine: bool = True,
+    augment_affine: bool = False,
     lr_flip: bool = True,
     jitter: bool = True,
     noise: bool = False,
@@ -134,7 +134,11 @@ def yolo_train_step_device_aug(
     the host ships raw letterboxed/patched images and pixel-corner labels
     (ImageLabelDataset(device_aug=True)); augment_batch + the xywh
     normalisation run inside this jit, so augmentation parallelises over
-    the DP mesh and overlaps the previous step's epilogue."""
+    the DP mesh and overlaps the previous step's epilogue.
+
+    ``augment_affine`` defaults OFF here: the on-device warp is a full-image
+    gather (~6 ms/frame on v5e) while PIL's host warp is C-speed, so the
+    hybrid split (host affine, device photometric) is the fast default."""
     from mit_driverless_cv_traininginfra_tpu.ops.device_aug import augment_batch
 
     cdt = jnp.dtype(compute_dtype)
