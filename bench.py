@@ -71,7 +71,7 @@ def main():
         if packed is not None:
             packed = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), packed)
 
-    batch = 64 if on_tpu else 2
+    batch = 128 if on_tpu else 2
     iters = 20 if on_tpu else 2
     frames = jnp.asarray(
         np.random.default_rng(0).uniform(0, 1, (batch, 416, 416, 3)),
