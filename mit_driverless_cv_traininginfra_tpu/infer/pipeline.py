@@ -78,7 +78,7 @@ def two_stage_pipeline(
     serving path — exact rewrite, ~35% backbone speedup on v5e."""
     B = frames.shape[0]
     dets = yolo_detections(spec, yolo_params, yolo_state, frames,
-                           packed_stem=packed_stem)
+                           packed_stem=packed_stem, with_classes=False)
     boxes, scores, mask = _postprocess(dets, conf_thresh, nms_thresh, max_det)
 
     crops = roi_crop_bilinear(frames, boxes, crop_size, crop_size)
@@ -120,7 +120,8 @@ def two_stage_pipeline_int8(
     )
 
     B = frames.shape[0]
-    dets = detections_int8(spec, yolo_q, frames, packed_stem_q=stem_q)
+    dets = detections_int8(spec, yolo_q, frames, packed_stem_q=stem_q,
+                           with_classes=False)
     boxes, scores, mask = _postprocess(dets, conf_thresh, nms_thresh, max_det)
     crops = roi_crop_bilinear(frames, boxes, crop_size, crop_size)
     flat = crops.reshape(B * max_det, crop_size, crop_size, frames.shape[-1])

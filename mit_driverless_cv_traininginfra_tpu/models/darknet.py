@@ -201,11 +201,18 @@ def decode_head(
     anchors: Sequence[Tuple[float, float]],
     img_height: int,
     num_classes: int,
+    with_classes: bool = True,
 ):
     """YOLO anchor decode, eval branch (models.py:140-169, 213-220).
 
     head_out: (B, H, W, A*(5+C)) NHWC raw conv output.
     Returns (B, A*H*W, 5+C): [cx, cy, w, h] in input pixels, conf, cls.
+
+    ``with_classes=False`` skips the class sigmoid/materialisation and
+    returns (B, A*H*W, 5) — the single-class serving path never reads the
+    class columns (the reference's detect/NMS use conf only,
+    detect.py:84-93), and at batch 128 the 80 class channels are ~435 MB
+    of pure HBM writes.
     """
     b, gh, gw, _ = head_out.shape
     na = len(anchors)
@@ -218,7 +225,6 @@ def decode_head(
     xy = jax.nn.sigmoid(pred[..., 0:2])
     wh = pred[..., 2:4]
     conf = jax.nn.sigmoid(pred[..., 4:5])
-    cls = jax.nn.sigmoid(pred[..., 5:])
 
     grid_x = jnp.arange(gw, dtype=pred.dtype)[None, None, None, :]
     grid_y = jnp.arange(gh, dtype=pred.dtype)[None, None, :, None]
@@ -235,8 +241,12 @@ def decode_head(
         ],
         axis=-1,
     )
-    out = jnp.concatenate([boxes * stride, conf, cls], axis=-1)
-    return out.reshape(b, na * gh * gw, nattr)
+    if with_classes:
+        cls = jax.nn.sigmoid(pred[..., 5:])
+        out = jnp.concatenate([boxes * stride, conf, cls], axis=-1)
+        return out.reshape(b, na * gh * gw, nattr)
+    out = jnp.concatenate([boxes * stride, conf], axis=-1)
+    return out.reshape(b, na * gh * gw, 5)
 
 
 def head_predictions(head_out, num_anchors: int, num_classes: int):
@@ -256,14 +266,16 @@ def head_predictions(head_out, num_anchors: int, num_classes: int):
     }
 
 
-def detections(spec: NetworkSpec, params, state, x, packed_stem=None):
+def detections(spec: NetworkSpec, params, state, x, packed_stem=None,
+               with_classes: bool = True):
     """Full eval forward: concat per-head decodes along the box axis
-    (models.py:338). Returns (B, ΣA·H·W, 5+C)."""
+    (models.py:338). Returns (B, ΣA·H·W, 5+C) (or 5 if with_classes=False)."""
     heads, _ = forward_features(spec, params, state, x, train=False,
                                 packed_stem=packed_stem)
     yolo_blocks = [b for b in spec.blocks if isinstance(b, YoloBlock)]
     decoded = [
-        decode_head(h, yb.anchors, spec.net.height, spec.net.num_classes)
+        decode_head(h, yb.anchors, spec.net.height, spec.net.num_classes,
+                    with_classes=with_classes)
         for h, yb in zip(heads, yolo_blocks)
     ]
     return jnp.concatenate(decoded, axis=1)

@@ -249,15 +249,16 @@ def apply_rektnet_int8(q, x, act_dtype=jnp.bfloat16, hm_only: bool = False):
 
 
 def detections_int8(spec: NetworkSpec, qparams, x, act_dtype=jnp.bfloat16,
-                    packed_stem_q=None):
-    """int8 eval forward + standard decode. Returns (B, ΣA·H·W, 5+C)."""
+                    packed_stem_q=None, with_classes: bool = True):
+    """int8 eval forward + standard decode. Returns (B, ΣA·H·W, 5+C)
+    (or 5 if with_classes=False)."""
     from mit_driverless_cv_traininginfra_tpu.models.darknet import decode_head
 
     heads = forward_features_int8(spec, qparams, x, act_dtype, packed_stem_q)
     yolo_blocks = [b for b in spec.blocks if isinstance(b, YoloBlock)]
     decoded = [
         decode_head(h.astype(jnp.float32), yb.anchors, spec.net.height,
-                    spec.net.num_classes)
+                    spec.net.num_classes, with_classes=with_classes)
         for h, yb in zip(heads, yolo_blocks)
     ]
     return jnp.concatenate(decoded, axis=1)
