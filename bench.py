@@ -54,12 +54,15 @@ def main():
 
     from mit_driverless_cv_traininginfra_tpu.models.stem_opt import (
         build_packed_stem,
+        slice_preyolo,
         stem_is_packable,
     )
 
     spec = _flagship_spec(416)
     params, state = init_params(spec, jax.random.PRNGKey(0))
     folded = fold_bn(params, state, spec)
+    # serving-graph passes: single-class head slice + space-to-depth stem
+    spec, folded = slice_preyolo(spec, folded)
     packed = build_packed_stem(folded) if stem_is_packable(spec) else None
     rp, rs = rektnet.init(jax.random.PRNGKey(1))
     rp = rektnet.fold_bn(rp, rs)

@@ -98,6 +98,51 @@ def build_packed_stem(folded_params: Dict[str, dict]) -> Dict[str, jnp.ndarray]:
     }
 
 
+def slice_preyolo(spec: NetworkSpec, folded_params):
+    """Serving-time head slice: drop the class output channels of every
+    pre-yolo conv.
+
+    The reference trains 80-class-wide heads (a COCO-warm-start artefact,
+    model_cfg/yolo_baseline.cfg:5) but the cone pipeline is single-class:
+    detect/NMS use conf only (detect.py:84-93) and even validate.py's class
+    argmax is never used in matching (validate.py:126 'TODO fix for
+    multi-class'). Each anchor's 5+C channel block keeps only its first 5
+    — at B=128/416² the class channels are ~220 GFLOP + ~220 MB of writes
+    per batch of pure waste.
+
+    Returns (spec', folded') where spec'.net.num_classes == 0 and the
+    pre-yolo convs are (5·A)-wide. Decode with ``with_classes=False``.
+    """
+    import dataclasses
+
+    from mit_driverless_cv_traininginfra_tpu.config.darknet_cfg import (
+        YoloBlock as _Yolo,
+    )
+
+    nattr = 5 + spec.net.num_classes
+    new_params = dict(folded_params)
+    new_blocks = []
+    yolo_masks = list(spec.net.yolo_masks)
+    yolo_i = 0
+    for i, b in enumerate(spec.blocks):
+        if isinstance(b, ConvBlock) and b.is_preyolo:
+            na = len(yolo_masks[yolo_i])
+            yolo_i += 1
+            keep = np.concatenate(
+                [np.arange(a * nattr, a * nattr + 5) for a in range(na)])
+            p = folded_params[str(i)]
+            new_params[str(i)] = {
+                "w": p["w"][..., keep],
+                "b": p["b"][..., keep],
+            }
+            new_blocks.append(dataclasses.replace(b, filters=5 * na))
+        else:
+            new_blocks.append(b)
+    new_net = dataclasses.replace(spec.net, num_classes=0)
+    new_spec = dataclasses.replace(spec, net=new_net, blocks=tuple(new_blocks))
+    return new_spec, new_params
+
+
 def apply_packed_stem(packed: Dict[str, jnp.ndarray], x, leaky_slope: float):
     """x (B, H, W, C) → conv2 output (B, H/2, W/2, C2), exactly equal to
     leaky(conv2(leaky(conv1(x))))."""

@@ -76,3 +76,19 @@ def test_full_detections_with_packed_stem(tmp_path):
     # (f32 reassociation drift amplified exponentially on huge values)
     np.testing.assert_allclose(np.asarray(plain), np.asarray(fast),
                                rtol=1e-2, atol=1e-2)
+
+
+def test_slice_preyolo_preserves_box_conf_outputs(tmp_path):
+    from mit_driverless_cv_traininginfra_tpu.models.stem_opt import slice_preyolo
+
+    spec = _small_yolo_spec(tmp_path)
+    params, state = init_params(spec, jax.random.PRNGKey(5))
+    folded = fold_bn(params, state, spec)
+    spec_s, folded_s = slice_preyolo(spec, folded)
+    assert spec_s.net.num_classes == 0
+    x = jnp.asarray(np.random.default_rng(6).uniform(0, 1, (1, 64, 64, 3)),
+                    jnp.float32)
+    full = detections(spec, folded, {}, x, with_classes=False)
+    sliced = detections(spec_s, folded_s, {}, x, with_classes=False)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(sliced),
+                               rtol=1e-5, atol=1e-4)
