@@ -95,7 +95,8 @@ def main():
             jnp.float32)
         amax = calibrate(spec, folded32, cal)
         yolo_q = quantize_params(spec, folded32, amax)
-        stem_q = quantize_packed_stem(packed32, amax)
+        stem_q = (quantize_packed_stem(packed32, amax)
+                  if packed32 is not None else None)
         crops_cal = jnp.asarray(
             np.random.default_rng(3).uniform(0, 1, (8, 80, 80, 3)), jnp.float32)
         rekt_q = quantize_rektnet_params(rekt32,

@@ -29,7 +29,6 @@ from mit_driverless_cv_traininginfra_tpu.config.darknet_cfg import NetworkSpec
 from mit_driverless_cv_traininginfra_tpu.models import rektnet
 from mit_driverless_cv_traininginfra_tpu.models.darknet import detections as yolo_detections
 from mit_driverless_cv_traininginfra_tpu.ops.image import roi_crop_bilinear
-from mit_driverless_cv_traininginfra_tpu.ops.nms import nms
 
 
 

@@ -115,10 +115,6 @@ def slice_preyolo(spec: NetworkSpec, folded_params):
     """
     import dataclasses
 
-    from mit_driverless_cv_traininginfra_tpu.config.darknet_cfg import (
-        YoloBlock as _Yolo,
-    )
-
     nattr = 5 + spec.net.num_classes
     new_params = dict(folded_params)
     new_blocks = []

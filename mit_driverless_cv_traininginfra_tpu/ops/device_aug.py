@@ -154,7 +154,7 @@ def augment_batch(key, images, labels,
     Returns (images, labels) with the same shapes/units.
     """
     B, H, W, C = images.shape
-    k_aff, k_flip, k_j1, k_j2, k_j3, k_n = jax.random.split(key, 6)
+    k_aff, k_flip, k_j1, k_j2, k_j3, k_ns, k_nv = jax.random.split(key, 7)
 
     if augment_affine:
         M, M_inv, ang = _affine_matrices(k_aff, B, h=H, w=W)
@@ -187,8 +187,8 @@ def augment_batch(key, images, labels,
         images = jnp.clip(images, 0.0, 1.0)
 
     if noise:
-        scale = jax.random.uniform(k_n, (B, 1, 1, 1), maxval=0.03)
+        scale = jax.random.uniform(k_ns, (B, 1, 1, 1), maxval=0.03)
         images = jnp.clip(
-            images + jax.random.normal(k_n, images.shape) * scale, 0.0, 1.0)
+            images + jax.random.normal(k_nv, images.shape) * scale, 0.0, 1.0)
 
     return images, labels

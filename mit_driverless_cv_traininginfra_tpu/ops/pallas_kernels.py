@@ -230,25 +230,52 @@ def _pallas_nms_topk(boxes, scores, conf_thresh: float, k: int, overlap: float):
             keep[:, 0].astype(bool))
 
 
+def _xla_nms_topk(boxes, scores, conf_thresh: float, k: int, overlap: float):
+    """XLA twin of the Pallas kernel with IDENTICAL output layout: slots are
+    the top-k candidates in score order (suppressed ones keep their slot
+    with keep=False; below-conf slots carry score -inf)."""
+    from mit_driverless_cv_traininginfra_tpu.ops.boxes import (
+        iou_no_plus_one_pairwise,
+    )
+
+    masked = jnp.where(scores > conf_thresh, scores.astype(jnp.float32),
+                       -jnp.inf)
+    top_val, top_idx = jax.lax.top_k(masked, k)            # (B, k)
+    cand = jnp.take_along_axis(boxes.astype(jnp.float32),
+                               top_idx[..., None], axis=1)  # (B, k, 4)
+    iou = iou_no_plus_one_pairwise(cand, cand)              # (B, k, k)
+    valid0 = jnp.isfinite(top_val)
+    slot = jnp.arange(k)
+
+    def body(i, carry):
+        alive, kept = carry  # (B, k) bool
+        is_kept = alive[:, i]
+        kept = kept.at[:, i].set(is_kept)
+        later = slot[None, :] > i
+        suppress = later & (iou[:, i, :] > overlap) & is_kept[:, None]
+        return alive & ~suppress, kept
+
+    _, kept = jax.lax.fori_loop(
+        0, k, body, (valid0, jnp.zeros(valid0.shape, bool)))
+    return cand, top_val, top_idx, kept
+
+
 def nms_topk(boxes, scores, conf_thresh: float, k: int = 16,
              overlap: float = 0.25):
     """Fused conf-filter + top-k + greedy NMS per image.
 
-    Returns (boxes (B,k,4) score-desc, scores (B,k), keep (B,k) bool).
-    Greedy semantics identical to ops.nms (score-descending, suppress at
-    IoU > overlap, no +1 convention). Pallas on TPU; XLA fallback
-    elsewhere."""
+    Returns (boxes (B,k,4), scores (B,k), keep (B,k) bool), where slot i is
+    the i-th highest-scoring candidate (suppressed candidates stay in
+    place with keep=False; below-conf slots carry score -inf). Greedy
+    suppression semantics match ops.nms (score-descending, suppress at
+    IoU > overlap, no +1 convention) — only the layout differs from
+    ops.nms's front-compaction. Pallas on TPU; an XLA twin with the same
+    layout elsewhere (tests pin the agreement)."""
     if jax.devices()[0].platform == "tpu":
         b, s, _, keep = _pallas_nms_topk(boxes, scores, conf_thresh, k, overlap)
         return b, s, keep
-    from mit_driverless_cv_traininginfra_tpu.ops.nms import nms as _nms
-
-    def one(bb, ss):
-        masked = jnp.where(ss > conf_thresh, ss, -jnp.inf)
-        idx, mask = _nms(bb, masked, overlap=overlap, top_k=k)
-        return bb[idx], ss[idx], mask
-
-    return jax.vmap(one)(boxes, scores)
+    b, s, _, keep = _xla_nms_topk(boxes, scores, conf_thresh, k, overlap)
+    return b, s, keep
 
 
 def _fwd(logits):

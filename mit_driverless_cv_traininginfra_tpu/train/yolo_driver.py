@@ -53,7 +53,7 @@ LOSS_LABELS = ["Total", "L-x", "L-y", "L-w", "L-h", "L-obj", "L-noobj"]
 def run_epoch(*, label_prefix: str, data_loader, spec, tx, ts, mesh,
               num_steps: int, step, epoch: int, loss_consts, optimize: bool,
               compute_dtype: str = "float32", device_aug: bool = False,
-              aug_key=None):
+              aug_key=None, aug_flags=None):
     """Shared train/validate epoch loop (train.py:49-93). Returns
     (epoch_losses[7], epoch_time_total, epoch_num_targets, ts)."""
     print(f"Model in {label_prefix} mode")
@@ -86,7 +86,7 @@ def run_epoch(*, label_prefix: str, data_loader, spec, tx, ts, mesh,
             ts, loss, comps = yolo_train_step_device_aug(
                 spec, tx, ts, imgs, targets, key,
                 xy_loss=xy, wh_loss=wh, object_loss=obj, no_object_loss=noobj,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, **(aug_flags or {}),
             )
         elif optimize:
             ts, loss, comps = yolo_train_step(
@@ -227,7 +227,14 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
             epoch=epoch, loss_consts=loss_consts, optimize=True,
             compute_dtype="bfloat16" if mixed_precision else "float32",
             device_aug=device_aug,
-            aug_key=jax.random.PRNGKey(seed * 7919 + epoch))
+            aug_key=jax.random.PRNGKey(seed * 7919 + epoch),
+            # honour the user's augmentation flags on the device path
+            # (data_aug turns the suite on, like the host path)
+            aug_flags=dict(
+                lr_flip=bool(lr_flip or data_aug),
+                jitter=bool(augment_hsv or data_aug),
+                noise=bool(noise or data_aug),
+            ))
         print("Completed epoch: ", epoch)
 
         if epoch % checkpoint_interval == 0 or epoch == num_epochs or step[0] >= num_steps:

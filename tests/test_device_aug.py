@@ -29,8 +29,11 @@ def test_warp_translation_fills_grey():
 
 
 def test_affine_labels_batch_matches_host_rewarp():
-    """The batched jax label rewarp must agree with the host numpy
-    implementation for the same homography."""
+    """The batched jax label rewarp must agree with the HOST implementation
+    (data.augment.affine_labels — the reference-parity rewarp) when both
+    use the same affine parameters."""
+    import mit_driverless_cv_traininginfra_tpu.data.augment as A
+
     rng = np.random.default_rng(1)
     B, T = 3, 4
     labels = np.zeros((B, T, 5), np.float32)
@@ -40,38 +43,21 @@ def test_affine_labels_batch_matches_host_rewarp():
             wdt, hgt = rng.uniform(20, 80, 2)
             labels[b, t] = [0, x0, y0, x0 + wdt, y0 + hgt]
 
-    key = jax.random.PRNGKey(0)
-    M, M_inv, ang = _affine_matrices(key, B, h=416, w=416)
+    params = [(-7.0, (12.0, -30.0), 1.05, 2.0),
+              (9.5, (-35.0, 5.0), 0.92, -2.5),
+              (0.0, (0.0, 0.0), 1.0, 0.0)]
+    # batch matrices built with the HOST matrix constructor
+    M = jnp.asarray(np.stack([
+        A._affine_matrix(416, 416, ang, tr, sc, (sh, 0))
+        for ang, tr, sc, sh in params
+    ]), jnp.float32)
+    ang = jnp.asarray([p[0] for p in params], jnp.float32)
+
     out = np.asarray(_affine_labels_batch(jnp.asarray(labels), M, ang, 416, 416))
-
-    for b in range(B):
-        # host path: rewarp with the same sampled parameters via the matrix
-        import mit_driverless_cv_traininginfra_tpu.data.augment as A
-
-        ref = labels[b].copy()
-        Mb = np.asarray(M[b], np.float64)
-        # reproduce host affine_labels numerics with this exact matrix
-        pts = ref[:, 1:5]
-        area0 = (pts[:, 2] - pts[:, 0]) * (pts[:, 3] - pts[:, 1])
-        xy = np.ones((T * 4, 3))
-        xy[:, :2] = pts[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(T * 4, 2)
-        xy = (xy @ Mb.T)
-        xy = (xy[:, :2] / xy[:, 2:3]).reshape(T, 8)
-        x, y = xy[:, [0, 2, 4, 6]], xy[:, [1, 3, 5, 7]]
-        boxes = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], 1)
-        rad = float(ang[b]) * np.pi / 180
-        red = max(abs(np.sin(rad)), abs(np.cos(rad))) ** 0.5
-        cx, cy = (boxes[:, 2] + boxes[:, 0]) / 2, (boxes[:, 3] + boxes[:, 1]) / 2
-        bw, bh = (boxes[:, 2] - boxes[:, 0]) * red, (boxes[:, 3] - boxes[:, 1]) * red
-        boxes = np.clip(np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2,
-                                  cy + bh / 2], 1), 0, 416)
-        bw, bh = boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]
-        area = bw * bh
-        ar = np.maximum(bw / (bh + 1e-16), bh / (bw + 1e-16))
-        keep = (bw > 4) & (bh > 4) & (area / (area0 + 1e-16) > 0.1) & (ar < 10)
-        expected = pts.copy()
-        expected[keep] = boxes[keep]
-        np.testing.assert_allclose(out[b, :, 1:5], expected, atol=2e-2)
+    for b, (a, tr, sc, sh) in enumerate(params):
+        expected = A.affine_labels(416, 416, labels[b].copy(), angle=a,
+                                   translate=tr, scale=sc, shear=(sh, 0))
+        np.testing.assert_allclose(out[b], expected, atol=2e-2)
 
 
 def test_augment_batch_end_to_end():

@@ -85,3 +85,27 @@ def test_nms_topk_matches_reference_semantics_interpret():
     # gathered boxes are exact
     gb = np.asarray(boxes[0])[np.asarray(iP[0])]
     np.testing.assert_array_equal(gb, np.asarray(bP[0]))
+
+
+def test_xla_nms_topk_layout_matches_pallas_interpret():
+    """The CPU fallback must produce the SAME slot layout as the kernel:
+    top-k candidates in score order with in-place keep masks."""
+    from mit_driverless_cv_traininginfra_tpu.ops.pallas_kernels import (
+        _pallas_nms_topk,
+        _xla_nms_topk,
+    )
+
+    rng = np.random.default_rng(9)
+    B, N, K = 3, 256, 8
+    xy = rng.uniform(0, 100, (B, N, 2))
+    wh = rng.uniform(2, 30, (B, N, 2))
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+    scores = jnp.asarray(rng.uniform(0, 1, (B, N)), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        bP, sP, iP, kP = _pallas_nms_topk(boxes, scores, 0.5, K, 0.25)
+    bX, sX, iX, kX = _xla_nms_topk(boxes, scores, 0.5, K, 0.25)
+    np.testing.assert_array_equal(np.asarray(iP), np.asarray(iX))
+    np.testing.assert_array_equal(np.asarray(kP), np.asarray(kX))
+    np.testing.assert_allclose(np.asarray(bP), np.asarray(bX), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sP), np.asarray(sX), atol=1e-6)
