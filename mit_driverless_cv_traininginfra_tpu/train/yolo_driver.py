@@ -137,7 +137,8 @@ def validate_map(*, data_loader, spec, params, model_state, mesh, top_k=200):
         )
         aps.append(np.asarray(ev.ap)); rs.append(np.asarray(ev.recall))
         ps.append(np.asarray(ev.precision)); valids.append(np.asarray(ev.valid))
-    valid = np.concatenate(valids)
+    valid = (np.concatenate(valids) if valids
+             else np.zeros((0,), bool))  # empty validation set
     if valid.sum() == 0:
         mAP = mR = mP = 0.0
     else:

@@ -1,0 +1,35 @@
+"""Execute the tutorial notebooks end-to-end (they synthesise their own
+data) — the notebooks are the reference's de-facto integration tests
+(SURVEY.md §4), so ours must actually run."""
+
+import os
+import shutil
+
+import nbformat
+import pytest
+from nbclient import NotebookClient
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(nb_path, tmp_path):
+    # the kernel runs with cwd=tmp_path: put the repo on its import path
+    os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    # the yolo notebook reads tests/fixtures/tiny_test.cfg relative to cwd
+    os.makedirs(tmp_path / "tests" / "fixtures", exist_ok=True)
+    shutil.copy(os.path.join(REPO, "tests", "fixtures", "tiny_test.cfg"),
+                tmp_path / "tests" / "fixtures" / "tiny_test.cfg")
+    nb = nbformat.read(nb_path, as_version=4)
+    client = NotebookClient(nb, timeout=600, kernel_name="python3",
+                            resources={"metadata": {"path": str(tmp_path)}})
+    client.execute()
+
+
+@pytest.mark.slow
+def test_yolo_tutorial_executes(tmp_path):
+    _run(os.path.join(REPO, "tutorials", "yolo_tutorial.ipynb"), tmp_path)
+
+
+@pytest.mark.slow
+def test_keypoints_tutorial_executes(tmp_path):
+    _run(os.path.join(REPO, "tutorials", "keypoints_tutorial.ipynb"), tmp_path)
