@@ -40,6 +40,7 @@ def main(argv=None) -> int:
                  "reference cross-batch geo-loss semantics")
     add_bool_arg(parser, "mixed_precision", False, "bf16 compute with f32 master weights")
     add_bool_arg(parser, "device_targets", False, "synthesise heatmap targets on-device")
+    add_bool_arg(parser, "resume", False, "resume from the output_path orbax checkpoint")
     add_bool_arg(parser, "vis_upload_data", False, "visualize the dataset")
     opt = parser.parse_args(argv)
 
@@ -74,6 +75,7 @@ def main(argv=None) -> int:
         seed=opt.seed,
         mixed_precision=opt.mixed_precision,
         device_targets=opt.device_targets,
+        resume=opt.resume,
     )
     return 0
 

@@ -33,7 +33,11 @@ from mit_driverless_cv_traininginfra_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
-from mit_driverless_cv_traininginfra_tpu.train.checkpoints import save_rektnet_pt
+from mit_driverless_cv_traininginfra_tpu.train.checkpoints import (
+    restore_orbax,
+    save_orbax,
+    save_rektnet_pt,
+)
 from mit_driverless_cv_traininginfra_tpu.train.optim import (
     exponential_lr,
     make_optimizer,
@@ -113,6 +117,7 @@ def main(*, train_dataset_uri: str, dataset_path: str,
          checkpoint_path: Optional[str] = None, num_workers: int = 0,
          n_devices: Optional[int] = None, seed: int = 17,
          mixed_precision: bool = False, device_targets: bool = False,
+         resume: bool = False,
          kpt_keys: Sequence[str] = tuple(DEFAULT_KEYPOINT_KEYS)):
     os.makedirs(output_path, exist_ok=True)
     ti, tl, vi, vl = load_train_csv_dataset(
@@ -133,6 +138,16 @@ def main(*, train_dataset_uri: str, dataset_path: str,
         params, mstate = rektnet.init(jax.random.PRNGKey(seed), num_kpt=num_kpt)
     tx = make_optimizer("Adam", lr=lr)
     ts = init_train_state(params, mstate, tx)
+
+    start_epoch = 0
+    orbax_dir = os.path.join(output_path, "orbax_latest")
+    meta_path = os.path.join(output_path, "orbax_latest.meta")
+    if resume and os.path.exists(orbax_dir):
+        restored = restore_orbax(orbax_dir, like=ts)
+        ts = type(ts)(*restored) if isinstance(restored, (list, tuple)) else restored
+        with open(meta_path) as f:
+            start_epoch = int(f.read())
+        print(f"Resumed from {orbax_dir} at epoch {start_epoch}")
     if mesh is not None:
         ts = replicate(mesh, ts)
 
@@ -149,7 +164,7 @@ def main(*, train_dataset_uri: str, dataset_path: str,
                               study_name, True, input_size, loss_kw)
         return best_val_loss
 
-    for epoch in range(num_epochs):
+    for epoch in range(start_epoch, num_epochs):
         print(f"EPOCH {epoch}")
         total_loss = [0.0, 0.0, 0.0]
         batch_num = 0
@@ -204,6 +219,9 @@ def main(*, train_dataset_uri: str, dataset_path: str,
                                   f"{epoch}_loss_{round(val_loss, 2)}.pt")
             print(f"Saving model to {pt_uri}")
             save_rektnet_pt(pt_uri, ts.params, ts.model_state, epoch=epoch)
+            save_orbax(orbax_dir, jax.tree_util.tree_map(np.asarray, ts))
+            with open(meta_path, "w") as f:
+                f.write(str(epoch + 1))
         if tolerance >= MAX_TOLERANCE:
             print(f"Training is stopped due; loss no longer decreases. "
                   f"Epoch {best_epoch} is has the best validation loss.")

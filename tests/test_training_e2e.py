@@ -251,3 +251,18 @@ def test_rektnet_driver_device_targets(rektnet_train_env):
         loss_type="l2_heatmap", device_targets=True, mixed_precision=True,
         save_checkpoints=False)
     assert np.isfinite(best)
+
+
+def test_rektnet_driver_resume(rektnet_train_env):
+    from mit_driverless_cv_traininginfra_tpu.train import rektnet_driver
+
+    csv_path, img_dir, tmp_path = rektnet_train_env
+    out = str(tmp_path / "out_resume")
+    kw = dict(train_dataset_uri=csv_path, dataset_path=img_dir,
+              output_path=out, batch_size=4, lr=1e-3, validation_ratio=0.25,
+              study_name="rstudy", checkpoint_interval=2,
+              save_checkpoints=True)
+    rektnet_driver.main(num_epochs=2, **kw)
+    assert os.path.exists(os.path.join(out, "orbax_latest.meta"))
+    rektnet_driver.main(num_epochs=4, resume=True, **kw)
+    assert open(os.path.join(out, "orbax_latest.meta")).read() == "4"
