@@ -131,12 +131,33 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt
-    print(json.dumps({
+
+    # p50 single-frame latency (BASELINE.json's second headline metric)
+    p50_ms = None
+    if on_tpu:
+        # device-side B=1 latency: chained runs under one fence (a per-run
+        # fence would measure the axon tunnel's RTT, not the chip)
+        frame = frames[:1]
+        sync(run(frame))  # compile B=1 variant
+        lats = []
+        for _ in range(5):
+            t1 = time.perf_counter()
+            o = None
+            for _ in range(8):
+                o = run(frame)
+            sync(o)
+            lats.append((time.perf_counter() - t1) * 1000 / 8)
+        p50_ms = sorted(lats)[len(lats) // 2]
+
+    out = {
         "metric": "e2e_detect_crop_keypoints_fps_416",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
-    }))
+    }
+    if p50_ms is not None:
+        out["p50_frame_latency_ms"] = round(p50_ms, 2)
+    print(json.dumps(out))
     return 0
 
 
