@@ -75,6 +75,38 @@ def main(argv=None) -> int:
         return boxes, kpts, np.asarray(out.scores[0])[m]
 
     os.makedirs(opt.output_path, exist_ok=True)
+    ext = os.path.splitext(opt.target_path)[1].lower()
+    if ext in (".mp4", ".avi", ".mov", ".mkv"):
+        import cv2
+
+        cap = cv2.VideoCapture(opt.target_path)
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        dest = os.path.join(opt.output_path,
+                            "pipeline_" + os.path.basename(opt.target_path))
+        writer = cv2.VideoWriter(dest, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                                 (w, h))
+        n = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            boxes, kpts, scores = run_frame(rgb)
+            for b, ks in zip(boxes, kpts):
+                cv2.rectangle(frame, (int(b[0]), int(b[1])),
+                              (int(b[2]), int(b[3])), (0, 0, 255), 2)
+                for i, (x, y) in enumerate(ks):
+                    c = KPT_COLORS[i % len(KPT_COLORS)]
+                    cv2.circle(frame, (int(x), int(y)), 3, tuple(c), -1)
+            writer.write(frame)
+            n += 1
+        cap.release()
+        writer.release()
+        print(f"{n} frames -> {dest}")
+        return 0
+
     img = Image.open(opt.target_path).convert("RGB")
     boxes, kpts, scores = run_frame(np.asarray(img))
     draw = ImageDraw.Draw(img)
