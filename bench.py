@@ -33,7 +33,12 @@ BASELINE_FPS = 2000.0
 
 
 def main():
-    from __graft_entry__ import _flagship_spec
+    # NOTE: do NOT import __graft_entry__ here — it forces the CPU platform
+    # at module import (required for the driver's virtual-mesh dryrun); the
+    # bench must stay on the real chip.
+    from mit_driverless_cv_traininginfra_tpu.config.flagship import (
+        flagship_spec as _flagship_spec,
+    )
     from mit_driverless_cv_traininginfra_tpu.infer.pipeline import (
         two_stage_pipeline,
         two_stage_pipeline_int8,
