@@ -161,7 +161,9 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 4),
     }
     if p50_ms is not None:
-        out["p50_frame_latency_ms"] = round(p50_ms, 2)
+        # steady-state per-frame device time (8 chained B=1 runs under one
+        # fence), NOT cold single-dispatch latency incl. transfer
+        out["p50_device_frame_ms"] = round(p50_ms, 2)
     print(json.dumps(out))
     return 0
 

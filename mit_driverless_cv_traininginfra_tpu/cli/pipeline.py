@@ -80,13 +80,21 @@ def main(argv=None) -> int:
         import cv2
 
         cap = cv2.VideoCapture(opt.target_path)
+        if not cap.isOpened():
+            print(f"ERROR: cannot open video {opt.target_path}", file=sys.stderr)
+            return 1
         fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
         w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
         h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-        dest = os.path.join(opt.output_path,
-                            "pipeline_" + os.path.basename(opt.target_path))
+        # always re-encode to .mp4: mp4v fourcc into other containers fails
+        base = os.path.splitext(os.path.basename(opt.target_path))[0]
+        dest = os.path.join(opt.output_path, "pipeline_" + base + ".mp4")
         writer = cv2.VideoWriter(dest, cv2.VideoWriter_fourcc(*"mp4v"), fps,
                                  (w, h))
+        if not writer.isOpened():
+            print(f"ERROR: cannot open video writer for {dest}", file=sys.stderr)
+            cap.release()
+            return 1
         n = 0
         while True:
             ok, frame = cap.read()
@@ -98,7 +106,8 @@ def main(argv=None) -> int:
                 cv2.rectangle(frame, (int(b[0]), int(b[1])),
                               (int(b[2]), int(b[3])), (0, 0, 255), 2)
                 for i, (x, y) in enumerate(ks):
-                    c = KPT_COLORS[i % len(KPT_COLORS)]
+                    # KPT_COLORS are RGB; cv2 frames are BGR
+                    c = KPT_COLORS[i % len(KPT_COLORS)][::-1]
                     cv2.circle(frame, (int(x), int(y)), 3, tuple(c), -1)
             writer.write(frame)
             n += 1

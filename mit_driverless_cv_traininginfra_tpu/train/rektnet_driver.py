@@ -145,8 +145,10 @@ def main(*, train_dataset_uri: str, dataset_path: str,
     if resume and os.path.exists(orbax_dir):
         restored = restore_orbax(orbax_dir, like=ts)
         ts = type(ts)(*restored) if isinstance(restored, (list, tuple)) else restored
-        with open(meta_path) as f:
-            start_epoch = int(f.read())
+        # meta may be missing if the run crashed between save and meta write
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                start_epoch = int(f.read())
         print(f"Resumed from {orbax_dir} at epoch {start_epoch}")
     if mesh is not None:
         ts = replicate(mesh, ts)

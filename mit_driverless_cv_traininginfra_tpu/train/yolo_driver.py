@@ -206,8 +206,10 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
     if resume and os.path.exists(orbax_dir):
         restored = restore_orbax(orbax_dir, like=ts_state)
         ts_state = type(ts_state)(*restored) if isinstance(restored, (list, tuple)) else restored
-        with open(meta_path) as f:
-            start_epoch = int(f.read())
+        # meta may be missing if the run crashed between save and meta write
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                start_epoch = int(f.read())
         print(f"Resumed from {orbax_dir} at epoch {start_epoch}")
     if mesh is not None:
         ts_state = replicate(mesh, ts_state)

@@ -12,9 +12,12 @@ from nbclient import NotebookClient
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(nb_path, tmp_path):
+def _run(nb_path, tmp_path, monkeypatch):
     # the kernel runs with cwd=tmp_path: put the repo on its import path
-    os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    # (monkeypatch restores the env var after the test, so repeated runs
+    # don't keep prepending and the state doesn't leak into other tests)
+    monkeypatch.setenv(
+        "PYTHONPATH", REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
     # the yolo notebook reads tests/fixtures/tiny_test.cfg relative to cwd
     os.makedirs(tmp_path / "tests" / "fixtures", exist_ok=True)
     shutil.copy(os.path.join(REPO, "tests", "fixtures", "tiny_test.cfg"),
@@ -26,10 +29,12 @@ def _run(nb_path, tmp_path):
 
 
 @pytest.mark.slow
-def test_yolo_tutorial_executes(tmp_path):
-    _run(os.path.join(REPO, "tutorials", "yolo_tutorial.ipynb"), tmp_path)
+def test_yolo_tutorial_executes(tmp_path, monkeypatch):
+    _run(os.path.join(REPO, "tutorials", "yolo_tutorial.ipynb"), tmp_path,
+         monkeypatch)
 
 
 @pytest.mark.slow
-def test_keypoints_tutorial_executes(tmp_path):
-    _run(os.path.join(REPO, "tutorials", "keypoints_tutorial.ipynb"), tmp_path)
+def test_keypoints_tutorial_executes(tmp_path, monkeypatch):
+    _run(os.path.join(REPO, "tutorials", "keypoints_tutorial.ipynb"), tmp_path,
+         monkeypatch)
