@@ -1,0 +1,256 @@
+"""Parity tests against the ACTUAL reference implementation.
+
+Unlike the hand-built torch oracles elsewhere in the suite (which could share
+a misreading of the reference with the implementation under test), these
+import ``/root/reference`` directly — the installed CPU torch runs the
+reference's own ``build_targets`` (CVC-YOLOv3/utils/utils.py:195-275),
+``nms`` (utils/nms.py:4-62), ``average_precision`` (utils/utils.py:58-119),
+``affine_labels`` (utils/datasets.py:317-382), ``KeypointNet``
+(RektNet/keypoint_net.py:12-70) and ``CrossRatioLoss``
+(RektNet/cross_ratio_loss.py:20-63) on shared random inputs.
+
+The reference tree is treated strictly as an oracle (outputs only).
+"""
+
+import math
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "CVC-YOLOv3")),
+    reason="reference tree not mounted",
+)
+
+torch = pytest.importorskip("torch")
+
+_loaded = {}
+
+
+def _ref_modules():
+    """Import the reference modules once, with stubs for the deps this image
+    lacks (imgaug, torchvision — only touched at call time, not by the
+    functions under test)."""
+    if _loaded:
+        return _loaded
+    for name in ("imgaug", "imgaug.augmenters"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["imgaug"].augmenters = sys.modules["imgaug.augmenters"]
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.set_image_backend = lambda *_: None
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        tv.transforms.functional = types.ModuleType(
+            "torchvision.transforms.functional")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+        sys.modules["torchvision.transforms.functional"] = tv.transforms.functional
+    paths = [os.path.join(REF, "CVC-YOLOv3"), os.path.join(REF, "RektNet")]
+    sys.path[0:0] = paths
+    try:
+        import cross_ratio_loss as ref_crl
+        import keypoint_net as ref_kpn
+        import utils.datasets as ref_datasets
+        import utils.nms as ref_nms
+        import utils.utils as ref_utils
+    finally:
+        for p in paths:
+            sys.path.remove(p)
+    _loaded.update(utils=ref_utils, nms=ref_nms, datasets=ref_datasets,
+                   kpn=ref_kpn, crl=ref_crl)
+    return _loaded
+
+
+def _rand_targets(B, T, rng):
+    """(B, T, 5) normalised [cls, cx, cy, w, h]; row 0 always valid (the
+    reference's padding-fill trick requires >=1 target per image)."""
+    t = np.zeros((B, T, 5), np.float32)
+    n_valid = rng.integers(1, T + 1, size=B)
+    for b in range(B):
+        k = n_valid[b]
+        t[b, :k, 1:3] = rng.uniform(0.05, 0.95, (k, 2))
+        t[b, :k, 3:5] = rng.uniform(0.02, 0.4, (k, 2))
+    return t
+
+
+@pytest.mark.parity
+@pytest.mark.parametrize("grid", [(13, 13), (10, 16)])
+def test_build_targets_matches_reference(grid):
+    ref = _ref_modules()
+    from mit_driverless_cv_traininginfra_tpu.models.yolo_loss import (
+        build_targets,
+    )
+
+    gh, gw = grid
+    rng = np.random.default_rng(0)
+    targets = _rand_targets(4, 6, rng)
+    anchors = rng.uniform(0.5, 6.0, (3, 2)).astype(np.float32)  # grid units
+
+    r = ref["utils"].build_targets(
+        torch.from_numpy(targets), torch.from_numpy(anchors),
+        num_anchors=3, num_classes=2, grid_size_h=gh, grid_size_w=gw,
+        ignore_thres=0.5)
+    mask_r, conf_r, tx_r, ty_r, tw_r, th_r, tconf_r, tcls_r = [
+        v.numpy() for v in r]
+
+    mine = build_targets(targets, anchors, num_classes=2, grid_h=gh,
+                         grid_w=gw, ignore_thresh=0.5)
+
+    np.testing.assert_array_equal(np.asarray(mine.mask, np.uint8), mask_r)
+    np.testing.assert_array_equal(np.asarray(mine.conf_mask, np.uint8), conf_r)
+    for got, want in [(mine.tx, tx_r), (mine.ty, ty_r),
+                      (mine.tw, tw_r), (mine.th, th_r),
+                      (mine.tconf, tconf_r)]:
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mine.tcls, np.uint8), tcls_r)
+
+
+@pytest.mark.parity
+@pytest.mark.parametrize("top_k", [200, 10])
+def test_nms_matches_reference(top_k):
+    ref = _ref_modules()
+    from mit_driverless_cv_traininginfra_tpu.ops.nms import nms
+
+    rng = np.random.default_rng(1)
+    # overlapping clusters so suppression actually fires
+    centers = rng.uniform(30, 370, (12, 2))
+    boxes = []
+    for cx, cy in centers:
+        for _ in range(5):
+            w, h = rng.uniform(20, 60, 2)
+            jx, jy = rng.normal(0, 6, 2)
+            boxes.append([cx + jx - w / 2, cy + jy - h / 2,
+                          cx + jx + w / 2, cy + jy + h / 2])
+    boxes = np.asarray(boxes, np.float32)
+    scores = rng.uniform(0.01, 1.0, boxes.shape[0]).astype(np.float32)
+
+    keep_ref = ref["nms"].nms(torch.from_numpy(boxes),
+                              torch.from_numpy(scores),
+                              overlap=0.25, top_k=top_k).numpy()
+    keep_idx, keep_mask = nms(boxes, scores, overlap=0.25, top_k=top_k)
+    keep_mine = np.asarray(keep_idx)[np.asarray(keep_mask)]
+    np.testing.assert_array_equal(keep_mine, keep_ref)
+
+
+@pytest.mark.parity
+def test_average_precision_matches_reference():
+    ref = _ref_modules()
+    from mit_driverless_cv_traininginfra_tpu.ops.metrics import (
+        average_precision,
+    )
+
+    rng = np.random.default_rng(2)
+    for n_det, n_gt in [(20, 12), (7, 30), (1, 1)]:
+        tp = (rng.uniform(size=n_det) > 0.5).astype(np.float32)
+        conf = rng.uniform(size=n_det).astype(np.float32)
+        ap_r, r_r, p_r = ref["utils"].average_precision(
+            torch.from_numpy(tp), torch.from_numpy(conf), n_gt)
+        ap, r, p = average_precision(tp, conf, n_gt)
+        np.testing.assert_allclose(float(ap), float(ap_r), rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(float(r), float(r_r), rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(float(p), float(p_r), rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parity
+@pytest.mark.parametrize(
+    "angle,translate,scale,shear",
+    [
+        (0.0, (0, 0), 1.0, (0, 0)),
+        (8.5, (17, -23), 1.07, (2.0, -1.5)),
+        (-10.0, (-40, 12), 0.9, (-3.0, 3.0)),
+    ],
+)
+def test_affine_labels_matches_reference(angle, translate, scale, shear):
+    ref = _ref_modules()
+    from mit_driverless_cv_traininginfra_tpu.data.augment import affine_labels
+
+    rng = np.random.default_rng(3)
+    h, w = 416, 416
+    n = 14
+    x1 = rng.uniform(0, w - 60, n)
+    y1 = rng.uniform(0, h - 60, n)
+    bw = rng.uniform(3, 120, n)  # include sub-4px boxes → rejection branch
+    bh = rng.uniform(3, 120, n)
+    targets = np.stack([np.zeros(n), x1, y1, x1 + bw, y1 + bh],
+                       axis=1).astype(np.float32)
+
+    out_ref = ref["datasets"].affine_labels(
+        h, w, torch.from_numpy(targets.copy()), angle=angle,
+        translate=translate, scale=scale, shear=shear).numpy()
+    out_mine = affine_labels(h, w, targets, angle=angle,
+                             translate=translate, scale=scale, shear=shear)
+    np.testing.assert_allclose(out_mine, out_ref, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parity
+def test_keypoint_net_forward_matches_reference():
+    ref = _ref_modules()
+    import jax.numpy as jnp
+
+    from mit_driverless_cv_traininginfra_tpu.models import rektnet
+
+    torch.manual_seed(0)
+    net = ref["kpn"].KeypointNet(num_kpt=7, image_size=(80, 80),
+                                 onnx_mode=False, init_weight=True)
+    net.eval()
+    # randomise BN running stats so eval-mode normalisation is non-trivial
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    params, state = rektnet.params_from_torch_state_dict(net.state_dict())
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0, 1, (3, 80, 80, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        hm_ref, pts_ref = net(torch.from_numpy(
+            np.transpose(x, (0, 3, 1, 2)).copy()))
+    hm, pts, _ = rektnet.apply(params, state, jnp.asarray(x), train=False)
+
+    np.testing.assert_allclose(np.asarray(hm), hm_ref.numpy(),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pts), pts_ref.numpy(),
+                               rtol=1e-4, atol=2e-5)
+
+
+@pytest.mark.parity
+@pytest.mark.parametrize("loss_type", ["l2_softargmax", "l2_heatmap",
+                                       "l1_softargmax"])
+@pytest.mark.parametrize("include_geo", [False, True])
+def test_cross_ratio_loss_matches_reference(loss_type, include_geo):
+    ref = _ref_modules()
+    from mit_driverless_cv_traininginfra_tpu.models.cross_ratio_loss import (
+        cross_ratio_loss,
+    )
+
+    rng = np.random.default_rng(5)
+    B = 4
+    hm = rng.uniform(0, 1, (B, 7, 80, 80)).astype(np.float32)
+    hm /= hm.sum(axis=(2, 3), keepdims=True)
+    t_hm = rng.uniform(0, 1, (B, 7, 80, 80)).astype(np.float32)
+    t_hm /= t_hm.sum(axis=(2, 3), keepdims=True)
+    pts = rng.uniform(0.1, 0.9, (B, 7, 2)).astype(np.float32)
+    t_pts = rng.uniform(0.1, 0.9, (B, 7, 2)).astype(np.float32)
+
+    crit = ref["crl"].CrossRatioLoss(loss_type, include_geo,
+                                     geo_loss_gamma_horz=0.05,
+                                     geo_loss_gamma_vert=0.07)
+    with torch.no_grad():
+        loc_r, geo_r, tot_r = crit(torch.from_numpy(hm),
+                                   torch.from_numpy(pts),
+                                   torch.from_numpy(t_hm),
+                                   torch.from_numpy(t_pts))
+    loc, geo, tot = cross_ratio_loss(
+        hm, pts, t_hm, t_pts, loss_type=loss_type, include_geo=include_geo,
+        geo_loss_gamma_horz=0.05, geo_loss_gamma_vert=0.07, cross_batch=True)
+    np.testing.assert_allclose(float(loc), float(loc_r), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(geo), float(geo_r), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(tot), float(tot_r), rtol=1e-5, atol=1e-6)
