@@ -4,8 +4,15 @@ Measures the fused two-stage pipeline (full YOLOv3-416 + batched NMS + ROI
 crop + RektNet soft-argmax) — BASELINE.json's headline metric, north star
 ≥2000 frames/sec/chip at 416×416 on TPU v5e.
 
+Honesty measures (round-2): the model is first TRAINED on synthetic cone
+scenes (data/synthetic.py) so conf logits have trained sparsity, the bench
+frames are rendered cone scenes (not uniform noise), int8 PTQ calibrates on
+that distribution, and the JSON carries a per-stage latency breakdown plus
+achieved TFLOP/s. Trained weights are cached under ~/.cache/mdcv_bench/.
+
 Prints exactly one JSON line:
-    {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
+     "stages_ms": {...}, ...}
 """
 
 import json
@@ -30,141 +37,341 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FPS = 2000.0
+CKPT = os.path.expanduser("~/.cache/mdcv_bench/ckpt_v1.npz")
+
+
+def _sync(*outs):
+    # NOTE: through the axon tunnel, block_until_ready() returns before
+    # the computation finishes; a device→host scalar read is the only
+    # reliable fence.
+    return sum(float(jnp.sum(o)) for o in outs)
+
+
+def _time_ms(fn, fence, iters):
+    """Steady-state per-call ms: `iters` chained runs under one fence."""
+    out = fn()
+    _sync(fence(out))  # warmup / compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    _sync(fence(out))
+    return (time.perf_counter() - t0) * 1000 / iters
+
+
+# ---------------------------------------------------------------------------
+# trained-weights cache (synthetic cone task)
+# ---------------------------------------------------------------------------
+
+
+def _save_trees(path, trees):
+    leaves = []
+    for t in trees:
+        leaves.extend(jax.tree_util.tree_leaves(t))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez(path, *[np.asarray(l) for l in leaves])
+
+
+def _load_trees(path, like):
+    data = np.load(path)
+    arrs = [data[k] for k in data.files]
+    out, i = [], 0
+    for t in like:
+        leaves, treedef = jax.tree_util.tree_flatten(t)
+        n = len(leaves)
+        out.append(jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(a) for a in arrs[i:i + n]]))
+        i += n
+    return out
+
+
+def _train_synthetic(spec, steps_yolo=400, steps_rekt=400):
+    """Short synthetic-cone training pass so the benched weights produce
+    trained conf sparsity (VERDICT r1 #4). Returns (params, state, rp, rs)."""
+    from mit_driverless_cv_traininginfra_tpu.data.synthetic import (
+        rektnet_batch,
+        yolo_batch,
+    )
+    from mit_driverless_cv_traininginfra_tpu.models import rektnet
+    from mit_driverless_cv_traininginfra_tpu.models.darknet import init_params
+    from mit_driverless_cv_traininginfra_tpu.train.optim import make_optimizer
+    from mit_driverless_cv_traininginfra_tpu.train.steps import (
+        init_train_state,
+        rektnet_train_step,
+        yolo_train_step,
+    )
+
+    rng = np.random.default_rng(0)
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    rp, rs = rektnet.init(jax.random.PRNGKey(1))
+    if os.path.exists(CKPT):
+        try:
+            params, state, rp, rs = _load_trees(CKPT, [params, state, rp, rs])
+            print("bench: loaded cached trained weights", file=sys.stderr)
+            return params, state, rp, rs
+        except Exception as e:  # stale cache → retrain
+            print(f"bench: ckpt load failed ({e}); retraining", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    # --- YOLO: pool of pre-rendered scenes, B=8, bf16 compute -------------
+    pool_i, pool_t = yolo_batch(rng, 256, size=spec.net.height)
+    pool_i = jnp.asarray(pool_i)
+    pool_t = jnp.asarray(pool_t)
+    tx = make_optimizer("Adam", lr=5e-4)
+    ts = init_train_state(params, state, tx)
+    B = 8
+    for step in range(steps_yolo):
+        idx = rng.integers(0, pool_i.shape[0], B)
+        ts, loss, _ = yolo_train_step(spec, tx, ts, pool_i[idx], pool_t[idx],
+                                      compute_dtype="bfloat16")
+        if step % 100 == 0:
+            print(f"bench: yolo step {step} loss {float(loss):.3f}",
+                  file=sys.stderr)
+    params, state = ts.params, ts.model_state
+
+    # --- RektNet: synthetic crops, on-device heatmap targets --------------
+    crop_i, crop_p = rektnet_batch(rng, 512)
+    crop_i = jnp.asarray(crop_i)
+    crop_p = jnp.asarray(crop_p)
+    rtx = make_optimizer("Adam", lr=1e-3)
+    rts = init_train_state(rp, rs, rtx)
+    dummy_hm = jnp.zeros((1,), jnp.float32)
+    for step in range(steps_rekt):
+        idx = rng.integers(0, crop_i.shape[0], 64)
+        rts, total, loc, _ = rektnet_train_step(
+            rtx, rts, crop_i[idx], dummy_hm, crop_p[idx],
+            loss_type="l1_softargmax", include_geo=True,
+            geo_loss_gamma_horz=0.05, geo_loss_gamma_vert=0.05,
+            compute_dtype="bfloat16", synth_target_sigma=1.0)
+        if step % 100 == 0:
+            print(f"bench: rekt step {step} loss {float(total):.4f}",
+                  file=sys.stderr)
+    rp, rs = rts.params, rts.model_state
+    print(f"bench: synthetic training took {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr)
+    _save_trees(CKPT, [params, state, rp, rs])
+    return params, state, rp, rs
+
+
+def _pick_conf_thresh(spec, folded, packed, frames, max_det):
+    """Reference operating point conf 0.8 if it fires realistically on the
+    trained model; otherwise the threshold yielding ~12 pre-NMS
+    candidates/frame (reported in the JSON either way)."""
+    from mit_driverless_cv_traininginfra_tpu.models.darknet import detections
+
+    dets = detections(spec, folded, {}, frames[:16], packed_stem=packed,
+                      with_classes=False)
+    conf = np.asarray(dets[..., 4], np.float32)
+    per_frame_08 = (conf > 0.8).sum(axis=1).mean()
+    if 1.0 <= per_frame_08 <= 5 * max_det:
+        return 0.8, float(per_frame_08)
+    want = 12
+    thresh = float(np.quantile(conf, 1.0 - want / conf.shape[1]))
+    thresh = min(max(thresh, 0.05), 0.95)
+    return thresh, float((conf > thresh).sum(axis=1).mean())
 
 
 def main():
-    # NOTE: do NOT import __graft_entry__ here — it forces the CPU platform
-    # at module import (required for the driver's virtual-mesh dryrun); the
-    # bench must stay on the real chip.
     from mit_driverless_cv_traininginfra_tpu.config.flagship import (
         flagship_spec as _flagship_spec,
     )
+    from mit_driverless_cv_traininginfra_tpu.data.synthetic import yolo_batch
     from mit_driverless_cv_traininginfra_tpu.infer.pipeline import (
         two_stage_pipeline,
         two_stage_pipeline_int8,
     )
     from mit_driverless_cv_traininginfra_tpu.models import rektnet
-    from mit_driverless_cv_traininginfra_tpu.models.darknet import fold_bn, init_params
+    from mit_driverless_cv_traininginfra_tpu.models.darknet import fold_bn
     from mit_driverless_cv_traininginfra_tpu.models.quantize import (
+        apply_rektnet_int8,
         calibrate,
         calibrate_rektnet,
+        detections_int8,
         quantize_packed_stem,
         quantize_params,
         quantize_rektnet_params,
     )
-
-    dev = jax.devices()[0]
-    on_tpu = dev.platform == "tpu"
-    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
-
     from mit_driverless_cv_traininginfra_tpu.models.stem_opt import (
         build_packed_stem,
         slice_preyolo,
         stem_is_packable,
     )
+    from mit_driverless_cv_traininginfra_tpu.utils.profiling import (
+        conv_graph_flops,
+        rektnet_flops,
+    )
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    max_det = 16
 
     spec = _flagship_spec(416)
-    params, state = init_params(spec, jax.random.PRNGKey(0))
+    trained = on_tpu and "--no-train" not in sys.argv
+    if trained:
+        params, state, rp, rs = _train_synthetic(spec)
+    else:
+        from mit_driverless_cv_traininginfra_tpu.models.darknet import (
+            init_params,
+        )
+
+        params, state = init_params(spec, jax.random.PRNGKey(0))
+        rp, rs = rektnet.init(jax.random.PRNGKey(1))
+
     folded = fold_bn(params, state, spec)
     # serving-graph passes: single-class head slice + space-to-depth stem
     spec, folded = slice_preyolo(spec, folded)
     packed = build_packed_stem(folded) if stem_is_packable(spec) else None
-    rp, rs = rektnet.init(jax.random.PRNGKey(1))
     rp = rektnet.fold_bn(rp, rs)
     rs = {}
-    if on_tpu:
-        folded = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), folded)
-        rp = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), rp)
-        rs = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), rs)
-        if packed is not None:
-            packed = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), packed)
 
+    # bench frames: rendered cone scenes (trained distribution)
+    scene_rng = np.random.default_rng(42)
     batch = 128 if on_tpu else 2
     iters = 20 if on_tpu else 2
-    frames = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 1, (batch, 416, 416, 3)),
-        compute_dtype,
-    )
-    frames = jax.device_put(frames, dev)
+    frames_np, _ = yolo_batch(scene_rng, batch, size=416)
+
+    if on_tpu:
+        to_c = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype), t)
+        folded_c, rp_c = to_c(folded), to_c(rp)
+        packed_c = to_c(packed) if packed is not None else None
+    else:
+        folded_c, rp_c, packed_c = folded, rp, packed
+    frames = jax.device_put(jnp.asarray(frames_np, compute_dtype), dev)
+
+    # operating point: trained conf sparsity decides the threshold
+    frames32 = jnp.asarray(frames_np[:16], jnp.float32)
+    conf_thresh, prenms_per_frame = _pick_conf_thresh(
+        spec, folded, packed, frames32, max_det)
 
     use_int8 = on_tpu and "--bf16" not in sys.argv
     if use_int8:
         # int8 PTQ serving config (the reference's own deployment target is
-        # TensorRT, where int8 serving is the norm); calibration on random
-        # frames here — real deployments calibrate on dataset frames
-        to_f32 = lambda t: jax.tree_util.tree_map(
-            lambda v: v.astype(jnp.float32), t)
-        folded32, packed32, rekt32 = to_f32(folded), to_f32(packed), to_f32(rp)
-        cal = jnp.asarray(
-            np.random.default_rng(2).uniform(0, 1, (2, 416, 416, 3)),
-            jnp.float32)
-        amax = calibrate(spec, folded32, cal)
-        yolo_q = quantize_params(spec, folded32, amax)
-        stem_q = (quantize_packed_stem(packed32, amax)
-                  if packed32 is not None else None)
-        crops_cal = jnp.asarray(
-            np.random.default_rng(3).uniform(0, 1, (8, 80, 80, 3)), jnp.float32)
-        rekt_q = quantize_rektnet_params(rekt32,
-                                         calibrate_rektnet(rekt32, crops_cal))
+        # TensorRT, where int8 serving is the norm); calibration on the
+        # same synthetic-scene distribution the weights were trained on
+        cal = jnp.asarray(frames_np[:8], jnp.float32)
+        amax = calibrate(spec, folded, cal)
+        yolo_q = quantize_params(spec, folded, amax)
+        stem_q = (quantize_packed_stem(packed, amax)
+                  if packed is not None else None)
+        from mit_driverless_cv_traininginfra_tpu.data.synthetic import (
+            rektnet_batch,
+        )
+
+        crops_cal, _ = rektnet_batch(np.random.default_rng(3), 32)
+        rekt_q = quantize_rektnet_params(
+            rp, calibrate_rektnet(rp, jnp.asarray(crops_cal)))
 
         def run(f):
             return two_stage_pipeline_int8(
                 spec, yolo_q, stem_q, rekt_q, f,
-                conf_thresh=0.8, nms_thresh=0.25, max_det=16,
+                conf_thresh=conf_thresh, nms_thresh=0.25, max_det=max_det,
             )
     else:
         def run(f):
             return two_stage_pipeline(
-                spec, folded, {}, rp, rs, f,
-                conf_thresh=0.8, nms_thresh=0.25, max_det=16,
-                packed_stem=packed,
+                spec, folded_c, {}, rp_c, rs, f,
+                conf_thresh=conf_thresh, nms_thresh=0.25, max_det=max_det,
+                packed_stem=packed_c,
             )
 
-    def sync(o):
-        # NOTE: through the axon tunnel, block_until_ready() returns before
-        # the computation finishes; a device→host scalar read is the only
-        # reliable fence.
-        return float(jnp.sum(o.keypoints)) + float(jnp.sum(o.scores))
-
     # warmup/compile
-    sync(run(frames))
+    out0 = run(frames)
+    _sync(out0.keypoints, out0.scores)
+    mean_det = float(np.asarray(out0.mask, np.float32).sum(axis=1).mean())
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run(frames)
-    sync(out)  # queue executes in order; fencing the last fences them all
+    _sync(out.keypoints, out.scores)  # queue executes in order
     dt = time.perf_counter() - t0
-
     fps = batch * iters / dt
 
-    # p50 single-frame latency (BASELINE.json's second headline metric)
-    p50_ms = None
+    # analytic achieved-compute rate (conv MACs only, serving graph)
+    yolo_gf = conv_graph_flops(spec) / 1e9
+    rekt_gf = rektnet_flops() / 1e9 * max_det
+    tops = (yolo_gf + rekt_gf) * fps / 1e3
+
+    out_json = {
+        "metric": "e2e_detect_crop_keypoints_fps_416",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+        "conf_thresh": round(conf_thresh, 3),
+        "prenms_cand_per_frame": round(prenms_per_frame, 1),
+        "mean_det_per_frame": round(mean_det, 2),
+        "trained_weights": trained,
+        "int8": use_int8,
+        "flops_per_frame_g": round(yolo_gf + rekt_gf, 1),
+        "achieved_tops": round(tops, 1),
+    }
+
     if on_tpu:
-        # device-side B=1 latency: chained runs under one fence (a per-run
-        # fence would measure the axon tunnel's RTT, not the chip)
+        # ---- per-stage breakdown (isolated jits; e2e overlaps them) ------
+        from mit_driverless_cv_traininginfra_tpu.infer.pipeline import (
+            _postprocess,
+        )
+        from mit_driverless_cv_traininginfra_tpu.ops.image import (
+            roi_crop_bilinear,
+        )
+
+        if use_int8:
+            det_fn = jax.jit(lambda f: detections_int8(
+                spec, yolo_q, f, packed_stem_q=stem_q, with_classes=False))
+            kpt_fn = jax.jit(
+                lambda c: apply_rektnet_int8(rekt_q, c)[1])
+        else:
+            from mit_driverless_cv_traininginfra_tpu.models.darknet import (
+                detections,
+            )
+
+            det_fn = jax.jit(lambda f: detections(
+                spec, folded_c, {}, f, packed_stem=packed_c,
+                with_classes=False))
+            kpt_fn = jax.jit(lambda c: rektnet.apply_folded(rp_c, c)[1])
+        post_fn = jax.jit(lambda d: _postprocess(d, conf_thresh, 0.25,
+                                                 max_det))
+        crop_fn = jax.jit(lambda f, b: roi_crop_bilinear(f, b, 80, 80))
+
+        dets = det_fn(frames)
+        boxes, scores, mask = post_fn(dets)
+        crops = crop_fn(frames, boxes)
+        flat = crops.reshape(batch * max_det, 80, 80, frames.shape[-1])
+
+        n = 10
+        stages = {
+            "detect_ms": _time_ms(lambda: det_fn(frames),
+                                  lambda o: o[..., 4], n),
+            "nms_ms": _time_ms(lambda: post_fn(dets), lambda o: o[1], n),
+            "crop_ms": _time_ms(lambda: crop_fn(frames, boxes),
+                                lambda o: o[..., 0, 0, 0], n),
+            "keypoint_ms": _time_ms(lambda: kpt_fn(flat),
+                                    lambda o: o[..., 0], n),
+        }
+        stages = {k: round(v / batch, 4) for k, v in stages.items()}
+        stages["sum_ms"] = round(sum(stages.values()), 4)
+        stages["e2e_ms"] = round(1000.0 / fps, 4)
+        out_json["stages_per_frame_ms"] = stages
+
+        # p50 single-frame latency: device-side B=1 latency (chained runs
+        # under one fence — a per-run fence would measure the axon tunnel's
+        # RTT, not the chip)
         frame = frames[:1]
-        sync(run(frame))  # compile B=1 variant
+        o = run(frame)
+        _sync(o.keypoints, o.scores)
         lats = []
         for _ in range(5):
             t1 = time.perf_counter()
             o = None
             for _ in range(8):
                 o = run(frame)
-            sync(o)
+            _sync(o.keypoints, o.scores)
             lats.append((time.perf_counter() - t1) * 1000 / 8)
-        p50_ms = sorted(lats)[len(lats) // 2]
+        # steady-state per-frame device time, NOT cold single-dispatch
+        # latency incl. transfer
+        out_json["p50_device_frame_ms"] = round(sorted(lats)[len(lats) // 2], 2)
 
-    out = {
-        "metric": "e2e_detect_crop_keypoints_fps_416",
-        "value": round(fps, 2),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 4),
-    }
-    if p50_ms is not None:
-        # steady-state per-frame device time (8 chained B=1 runs under one
-        # fence), NOT cold single-dispatch latency incl. transfer
-        out["p50_device_frame_ms"] = round(p50_ms, 2)
-    print(json.dumps(out))
+    print(json.dumps(out_json))
     return 0
 
 

@@ -54,9 +54,38 @@ class PipelineOut(NamedTuple):
     keypoints: jnp.ndarray  # (B, K, 7, 2) xy in frame pixels
 
 
+def _keypoints_compacted(kpt_apply, crops, scores, mask, crop_capacity):
+    """Run the keypoint net on the valid crops only.
+
+    With trained conf sparsity most of the B·K fixed crop slots are masked
+    padding; RektNet at 80×80 costs ~4 GFLOP *per crop*, so feeding it
+    invalid slots is the single largest waste in the fused pipeline. This
+    gathers the top-``crop_capacity`` crops GLOBALLY across the batch
+    (valid first, score-descending — frames keep their full ``max_det``
+    capacity; only the batch-total is capped), runs the net on that fixed-
+    size buffer, and scatters the points back. Bit-identical to the full
+    pass whenever #valid ≤ crop_capacity; overflow drops the lowest-score
+    detections' keypoints (zeros), never their boxes.
+
+    ``crop_capacity=None`` (or ≥ B·K) keeps the dense path.
+    """
+    B, K = mask.shape
+    flat = crops.reshape(B * K, *crops.shape[2:])
+    if crop_capacity is None or crop_capacity >= B * K:
+        pts = kpt_apply(flat)
+        return pts.reshape(B, K, 7, 2)
+    key = jnp.where(mask.reshape(-1), -scores.reshape(-1).astype(jnp.float32),
+                    jnp.inf)
+    sel = jax.lax.top_k(-key, crop_capacity)[1]
+    pts_c = kpt_apply(flat[sel])  # (C, 7, 2)
+    pts = jnp.zeros((B * K, 7, 2), pts_c.dtype).at[sel].set(pts_c)
+    return pts.reshape(B, K, 7, 2)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "conf_thresh", "nms_thresh", "max_det", "crop_size"),
+    static_argnames=("spec", "conf_thresh", "nms_thresh", "max_det",
+                     "crop_size", "crop_capacity"),
 )
 def two_stage_pipeline(
     spec: NetworkSpec,
@@ -70,23 +99,25 @@ def two_stage_pipeline(
     max_det: int = 16,
     crop_size: int = 80,
     packed_stem=None,
+    crop_capacity=None,
 ) -> PipelineOut:
     """frames: (B, H, W, 3) in [0,1], H/W = spec.net input size.
 
     ``packed_stem``: optional space-to-depth stem weights (stem_opt) for the
-    serving path — exact rewrite, ~35% backbone speedup on v5e."""
-    B = frames.shape[0]
+    serving path — exact rewrite, ~35% backbone speedup on v5e.
+    ``crop_capacity``: cap the batch-total keypoint crops (see
+    :func:`_keypoints_compacted`)."""
     dets = yolo_detections(spec, yolo_params, yolo_state, frames,
                            packed_stem=packed_stem, with_classes=False)
     boxes, scores, mask = _postprocess(dets, conf_thresh, nms_thresh, max_det)
 
     crops = roi_crop_bilinear(frames, boxes, crop_size, crop_size)
-    flat = crops.reshape(B * max_det, crop_size, crop_size, frames.shape[-1])
     if "bn" in rekt_params["stem"]:
-        _, pts, _ = rektnet.apply(rekt_params, rekt_state, flat)
+        kpt_apply = lambda c: rektnet.apply(rekt_params, rekt_state, c)[1]
     else:  # BN-folded serving params (rektnet.fold_bn)
-        _, pts = rektnet.apply_folded(rekt_params, flat)
-    pts = pts.reshape(B, max_det, 7, 2)  # in [0,1] crop coords
+        kpt_apply = lambda c: rektnet.apply_folded(rekt_params, c)[1]
+    pts = _keypoints_compacted(kpt_apply, crops, scores, mask,
+                               crop_capacity)  # in [0,1] crop coords
 
     x0y0 = boxes[..., None, 0:2]
     wh_box = (boxes[..., 2:4] - boxes[..., 0:2])[..., None, :]
@@ -96,7 +127,8 @@ def two_stage_pipeline(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "conf_thresh", "nms_thresh", "max_det", "crop_size"),
+    static_argnames=("spec", "conf_thresh", "nms_thresh", "max_det",
+                     "crop_size", "crop_capacity"),
 )
 def two_stage_pipeline_int8(
     spec: NetworkSpec,
@@ -108,6 +140,7 @@ def two_stage_pipeline_int8(
     nms_thresh: float = 0.25,
     max_det: int = 16,
     crop_size: int = 80,
+    crop_capacity=None,
 ) -> PipelineOut:
     """int8 serving configuration of the pipeline: quantized YOLO backbone
     (incl. packed stem) and quantized RektNet, bf16 elsewhere. Params from
@@ -118,14 +151,12 @@ def two_stage_pipeline_int8(
         detections_int8,
     )
 
-    B = frames.shape[0]
     dets = detections_int8(spec, yolo_q, frames, packed_stem_q=stem_q,
                            with_classes=False)
     boxes, scores, mask = _postprocess(dets, conf_thresh, nms_thresh, max_det)
     crops = roi_crop_bilinear(frames, boxes, crop_size, crop_size)
-    flat = crops.reshape(B * max_det, crop_size, crop_size, frames.shape[-1])
-    _, pts = apply_rektnet_int8(rekt_q, flat)
-    pts = pts.reshape(B, max_det, 7, 2)
+    pts = _keypoints_compacted(lambda c: apply_rektnet_int8(rekt_q, c)[1],
+                               crops, scores, mask, crop_capacity)
     x0y0 = boxes[..., None, 0:2]
     wh_box = (boxes[..., 2:4] - boxes[..., 0:2])[..., None, :]
     kpts = x0y0 + pts * wh_box

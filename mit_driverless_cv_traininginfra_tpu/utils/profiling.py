@@ -70,3 +70,66 @@ def device_memory_stats():
                 "bytes_limit": stats.get("bytes_limit"),
             }
     return out
+
+
+# ---------------------------------------------------------------------------
+# analytic FLOP accounting (for achieved-TFLOP/s bench reporting)
+# ---------------------------------------------------------------------------
+
+
+def conv_graph_flops(spec, height=None, width=None) -> int:
+    """Multiply-add FLOPs (2·MACs) of one forward pass through the conv
+    graph of ``spec`` at the given input resolution (torch conv/pool output
+    arithmetic, incl. the k=2,s=1 maxpool zero-pad special case)."""
+    from mit_driverless_cv_traininginfra_tpu.config.darknet_cfg import (
+        ConvBlock,
+        MaxPoolBlock,
+        RouteBlock,
+        ShortcutBlock,
+        UpsampleBlock,
+    )
+
+    h = height or spec.net.height
+    w = width or spec.net.width
+    chans = spec.out_channels
+    res = []
+    cur = (h, w)
+    flops = 0
+    for i, b in enumerate(spec.blocks):
+        if isinstance(b, ConvBlock):
+            p = (b.size - 1) // 2
+            ho = (cur[0] + 2 * p - b.size) // b.stride + 1
+            wo = (cur[1] + 2 * p - b.size) // b.stride + 1
+            flops += 2 * ho * wo * b.size * b.size * chans[i] * b.filters
+            cur = (ho, wo)
+        elif isinstance(b, MaxPoolBlock):
+            if b.size == 2 and b.stride == 1:
+                pass  # zero-padded to keep the resolution
+            else:
+                p = (b.size - 1) // 2
+                cur = ((cur[0] + 2 * p - b.size) // b.stride + 1,
+                       (cur[1] + 2 * p - b.size) // b.stride + 1)
+        elif isinstance(b, UpsampleBlock):
+            cur = (cur[0] * b.stride, cur[1] * b.stride)
+        elif isinstance(b, RouteBlock):
+            cur = res[b.layers[0]]
+        elif isinstance(b, ShortcutBlock):
+            pass
+        res.append(cur)
+    return flops
+
+
+def rektnet_flops(size: int = 80, net_size: int = 16, num_kpt: int = 7) -> int:
+    """Forward FLOPs of one RektNet crop (keypoint_net.py:17-25 topology:
+    7×7 stem, four residual blocks, 1×1 head — all at full resolution)."""
+    hw = size * size
+    f = 2 * hw * 7 * 7 * 3 * net_size  # stem
+    cin = net_size
+    for mult in (1, 2, 4, 8):
+        cout = net_size * mult
+        f += 2 * hw * (3 * 3 * cin * cout    # conv1 (dilated, same res)
+                       + 3 * 3 * cout * cout  # conv2
+                       + 1 * 1 * cin * cout)  # shortcut
+        cin = cout
+    f += 2 * hw * cin * num_kpt  # 1×1 head
+    return f

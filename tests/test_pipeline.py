@@ -67,3 +67,61 @@ def test_two_stage_pipeline_end_to_end():
     valid = m[..., None] & np.ones_like(kx, bool)
     assert (kx[valid.astype(bool)] >= (bx0 - 1e-3 + np.zeros_like(kx))[valid]).all()
     assert (kx[valid] <= (bx1 + 1e-3 + np.zeros_like(kx))[valid]).all()
+
+
+def test_crop_capacity_compaction_matches_dense():
+    """crop_capacity ≥ #valid must be bit-identical to the dense path on
+    valid slots (and zero on invalid ones)."""
+    spec, yp, ys, rp, rs = _setup()
+    frames = jnp.asarray(
+        np.random.default_rng(2).uniform(0, 1, (4, 64, 64, 3)), jnp.float32
+    )
+    dense = two_stage_pipeline(
+        spec, yp, ys, rp, rs, frames,
+        conf_thresh=0.3, nms_thresh=0.25, max_det=4,
+    )
+    n_valid = int(np.asarray(dense.mask).sum())
+    cap = max(n_valid, 1)
+    comp = two_stage_pipeline(
+        spec, yp, ys, rp, rs, frames,
+        conf_thresh=0.3, nms_thresh=0.25, max_det=4, crop_capacity=cap,
+    )
+    m = np.asarray(dense.mask)
+    np.testing.assert_array_equal(np.asarray(comp.mask), m)
+    np.testing.assert_allclose(np.asarray(comp.keypoints)[m],
+                               np.asarray(dense.keypoints)[m],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(comp.boxes),
+                                  np.asarray(dense.boxes))
+
+
+def test_crop_capacity_overflow_drops_lowest_scores():
+    spec, yp, ys, rp, rs = _setup()
+    frames = jnp.asarray(
+        np.random.default_rng(3).uniform(0, 1, (4, 64, 64, 3)), jnp.float32
+    )
+    dense = two_stage_pipeline(
+        spec, yp, ys, rp, rs, frames,
+        conf_thresh=0.0, nms_thresh=0.25, max_det=4,
+    )
+    m = np.asarray(dense.mask)
+    n_valid = int(m.sum())
+    if n_valid < 2:
+        return  # nothing to drop with this seed
+    cap = n_valid - 1
+    comp = two_stage_pipeline(
+        spec, yp, ys, rp, rs, frames,
+        conf_thresh=0.0, nms_thresh=0.25, max_det=4, crop_capacity=cap,
+    )
+    # boxes/scores/mask untouched; exactly the lowest-score valid detection
+    # lost its keypoints (zeros before the box offset is applied)
+    np.testing.assert_array_equal(np.asarray(comp.mask), m)
+    scores = np.asarray(dense.scores)
+    valid_scores = scores[m]
+    drop = valid_scores.argsort()[:1]
+    kept_sc = np.sort(valid_scores)[::-1][:cap]
+    kc = np.asarray(comp.keypoints)[m]
+    kd = np.asarray(dense.keypoints)[m]
+    match = np.isclose(kc, kd, rtol=1e-5, atol=1e-5).all(axis=(1, 2))
+    assert match.sum() == cap, (match.sum(), cap)
+    assert not match[valid_scores.argsort()[0]]
