@@ -37,6 +37,7 @@ try:
 except Exception:  # pragma: no cover
     cv2 = None
 
+from mit_driverless_cv_traininginfra_tpu.data.decode import imread_bgr
 from mit_driverless_cv_traininginfra_tpu.data.yolo_csv import (
     YoloCsv,
     YoloCsvRow,
@@ -109,7 +110,7 @@ def generate_dataset_csvs(
         img_path = os.path.join(dataset_path, row.image)
         if not os.path.isfile(img_path):
             raise Exception(f"could not find image: {img_path}")
-        img = cv2.imread(img_path)
+        img = imread_bgr(img_path)  # native C++ decode when built
         img_h, img_w = img.shape[:2]
         for b in row.boxes:  # CSV boxes are [x, y, h, w]
             box_dict.setdefault((img_h, img_w), []).append((float(b[2]), float(b[3])))

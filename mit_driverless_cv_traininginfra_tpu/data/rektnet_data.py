@@ -29,6 +29,7 @@ try:
 except Exception:  # pragma: no cover
     cv2 = None
 
+from mit_driverless_cv_traininginfra_tpu.data.decode import imread_bgr
 from mit_driverless_cv_traininginfra_tpu.ops.heatmap import (
     get_scale,
     prep_image,
@@ -83,7 +84,7 @@ def load_train_csv_dataset(
         kept_images: List[str] = []
         kept_labels: List[np.ndarray] = []
         for num, uri in enumerate(image_uris):
-            image = cv2.imread(uri)
+            image = imread_bgr(uri)  # native C++ decode when built
             if image is None:
                 continue
             if image.shape[0] < 10:
@@ -127,7 +128,7 @@ class ConeDataset:
 
     def __getitem__(self, index: int):
         path = os.path.join(self.dataset_path, str(self.images[index]))
-        image = cv2.imread(path)
+        image = imread_bgr(path)  # native C++ decode when built
         if image is None:
             raise FileNotFoundError(path)
         orig_size = image.shape

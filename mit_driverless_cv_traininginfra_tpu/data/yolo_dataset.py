@@ -26,6 +26,7 @@ import numpy as np
 from PIL import Image
 
 from mit_driverless_cv_traininginfra_tpu.data import augment as A
+from mit_driverless_cv_traininginfra_tpu.data.decode import open_rgb
 from mit_driverless_cv_traininginfra_tpu.data.yolo_csv import read_yolo_csv
 from mit_driverless_cv_traininginfra_tpu.ops.boxes import calculate_padding
 from mit_driverless_cv_traininginfra_tpu.ops.patches import (
@@ -156,7 +157,7 @@ class ImageLabelDataset:
         rng = self._rng
         img_uri = self.img_files[index]
         img_boxes = self.labels[index]
-        orig_img = Image.open(img_uri).convert("RGB")
+        orig_img = open_rgb(img_uri)  # native C++ decode when built
         self._vis_uri = img_uri
         if self.vis_batch and len(img_boxes) > 0:
             raw = _np_xyhw_to_corner_with_class(np.asarray(img_boxes, np.float32))

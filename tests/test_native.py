@@ -108,3 +108,20 @@ def test_batch_decode_reports_failures():
     blobs = [b"not an image", _png_bytes(np.zeros((8, 8, 3), np.uint8))]
     out, failures = native.decode_letterbox_batch(blobs, 32, 32)
     assert failures == 1
+
+
+def test_decode_seam_is_native_and_pil_identical(tmp_path):
+    """The training datasets decode through data.decode — native by default
+    (VERDICT r1 #5) and bit-identical to PIL for baseline JPEG/PNG."""
+    from mit_driverless_cv_traininginfra_tpu.data import decode
+
+    assert decode.native_active(), "native core should build in this image"
+    rng = np.random.default_rng(7)
+    for ext in ("jpg", "png"):
+        p = str(tmp_path / f"x.{ext}")
+        Image.fromarray(rng.integers(0, 255, (50, 34, 3), np.uint8)).save(p)
+        pil = np.asarray(Image.open(p).convert("RGB"))
+        nat = np.asarray(decode.open_rgb(p))
+        np.testing.assert_array_equal(nat, pil)
+        bgr = decode.imread_bgr(p)
+        np.testing.assert_array_equal(bgr, pil[..., ::-1])
