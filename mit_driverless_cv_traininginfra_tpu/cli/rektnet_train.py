@@ -41,7 +41,12 @@ def main(argv=None) -> int:
     add_bool_arg(parser, "mixed_precision", False, "bf16 compute with f32 master weights")
     add_bool_arg(parser, "device_targets", False, "synthesise heatmap targets on-device")
     add_bool_arg(parser, "resume", False, "resume from the output_path orbax checkpoint")
-    add_bool_arg(parser, "vis_upload_data", False, "visualize the dataset")
+    add_bool_arg(parser, "vis_upload_data", False,
+                 "render the whole dataset with keypoints, then exit "
+                 "(train_eval.py:249-252)")
+    add_bool_arg(parser, "post_run_shutdown", False,
+                 "ops hook: shut the instance down after the "
+                 "vis_upload_data pass (the reference's 'sudo shutdown now')")
     opt = parser.parse_args(argv)
 
     if opt.output_path == "automatic":
@@ -76,6 +81,8 @@ def main(argv=None) -> int:
         mixed_precision=opt.mixed_precision,
         device_targets=opt.device_targets,
         resume=opt.resume,
+        vis_upload_data=opt.vis_upload_data,
+        post_run_shutdown=opt.post_run_shutdown,
     )
     return 0
 

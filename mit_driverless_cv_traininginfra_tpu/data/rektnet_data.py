@@ -49,6 +49,9 @@ def load_train_csv_dataset(
     dataset_path: str = "",
     cache_location: str = None,
 ):
+    from mit_driverless_cv_traininginfra_tpu.data.uri import resolve_uri
+
+    train_csv_uri = resolve_uri(train_csv_uri)  # gs:// via local mirror
     table = pd.read_csv(train_csv_uri)
     table_hash = hashlib.sha256(
         pd.util.hash_pandas_object(table, index=True).values

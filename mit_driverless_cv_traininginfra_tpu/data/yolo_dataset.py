@@ -77,7 +77,8 @@ class ImageLabelDataset:
         seed: int = 17,
         device_aug: bool = False,
     ):
-        table = read_yolo_csv(path)
+        from mit_driverless_cv_traininginfra_tpu.data.uri import resolve_uri
+        table = read_yolo_csv(resolve_uri(path))  # gs:// via local mirror
         self.img_files: List[str] = []
         self.labels: List[np.ndarray] = []
         self.scales: List[float] = []

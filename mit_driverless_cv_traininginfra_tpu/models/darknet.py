@@ -300,6 +300,9 @@ def load_darknet_weights(
     ``start_weights_dim`` slicing that warm-starts an 80-class head into a
     smaller one by taking the first ``num_b`` filters (models.py:380-394).
     """
+    from mit_driverless_cv_traininginfra_tpu.data.uri import resolve_uri
+
+    weights_path = resolve_uri(weights_path)  # gs:// via local mirror
     if start_weights_dim is None:
         start_weights_dim = spec.net.start_weights_dim
     with open(weights_path, "rb") as fp:

@@ -364,6 +364,10 @@ def load_torch_checkpoint(path: str, dtype=jnp.float32):
     bare state_dict) into (params, state). Uses CPU torch only for IO."""
     import torch
 
+    from mit_driverless_cv_traininginfra_tpu.data.uri import resolve_uri
+
+    path = resolve_uri(path)  # gs:// via local mirror
+
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
     return params_from_torch_state_dict(sd, dtype=dtype)

@@ -117,13 +117,30 @@ def main(*, train_dataset_uri: str, dataset_path: str,
          checkpoint_path: Optional[str] = None, num_workers: int = 0,
          n_devices: Optional[int] = None, seed: int = 17,
          mixed_precision: bool = False, device_targets: bool = False,
-         resume: bool = False,
+         resume: bool = False, vis_upload_data: bool = False,
+         post_run_shutdown: bool = False,
          kpt_keys: Sequence[str] = tuple(DEFAULT_KEYPOINT_KEYS)):
     os.makedirs(output_path, exist_ok=True)
     ti, tl, vi, vl = load_train_csv_dataset(
         train_dataset_uri, validation_percent=validation_ratio,
         keypoint_keys=kpt_keys, dataset_path=dataset_path,
         cache_location=cache_location)
+
+    if vis_upload_data:
+        # "Become one with the data" pass (train_eval.py:249-252): render
+        # the whole dataset, then stop. The reference hard-shuts the cloud
+        # instance here; we gate that behind the explicit ops flag.
+        from mit_driverless_cv_traininginfra_tpu.utils.vis import (
+            visualize_dataset,
+        )
+
+        n = visualize_dataset(ti, tl, dataset_path,
+                              os.path.join(output_path, "visualization"))
+        print(f"visualized {n} dataset images")
+        if post_run_shutdown:
+            print("Shutting down instance...")
+            os.system("shutdown now")
+        return None
     train_loader = RektNetLoader(
         ConeDataset(ti, tl, dataset_path, input_size,
                     compute_heatmaps=not device_targets),

@@ -72,3 +72,44 @@ def vis_tensor_and_save(image, h: int, w: int, tensor_output, image_name: str,
     if not cv2.imwrite(dest, image):
         raise Exception("Could not write image")
     return image
+
+
+def visualize_dataset(images, labels, dataset_path: str,
+                      output_uri: str = "outputs/visualization/"):
+    """Whole-dataset keypoint render — the reference's ``--vis_upload_data``
+    pass (RektNet/utils.py:113-150): pad each image to a square with grey
+    128, resize to 1000², draw the keypoint chain in green, write via
+    tmp-then-rename. Returns the number of images rendered."""
+    import cv2
+    import numpy as np
+
+    from mit_driverless_cv_traininginfra_tpu.data.decode import imread_bgr
+
+    os.makedirs(output_uri, exist_ok=True)
+    n = 0
+    for name, label in zip(images, labels):
+        img = imread_bgr(os.path.join(dataset_path, str(name)))
+        if img is None:
+            continue
+        h, w, _ = img.shape
+        d = abs(h - w)
+        if h <= w:
+            img = cv2.copyMakeBorder(img, 0, d, 0, 0, cv2.BORDER_CONSTANT,
+                                     value=[128, 128, 128])
+        else:
+            img = cv2.copyMakeBorder(img, 0, 0, 0, d, cv2.BORDER_CONSTANT,
+                                     value=[128, 128, 128])
+        norm = np.asarray(label, np.float32) / np.asarray([w, h], np.float32)
+        img = cv2.resize(img, (1000, 1000))
+        prev = None
+        for pt in norm:
+            cvpt = (int(pt[0] * 1000), int(pt[1] * 1000))
+            cv2.circle(img, cvpt, 3, (0, 255, 0), -1)
+            if prev is not None:
+                cv2.line(img, prev, cvpt, (0, 255, 0), 2)
+            prev = cvpt
+        dest = os.path.join(output_uri, str(name))
+        cv2.imwrite(dest + ".tmp.jpg", img)
+        os.rename(dest + ".tmp.jpg", dest)
+        n += 1
+    return n
