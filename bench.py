@@ -227,6 +227,8 @@ def main():
     # bench frames: rendered cone scenes (trained distribution)
     scene_rng = np.random.default_rng(42)
     batch = 128 if on_tpu else 2
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
     iters = 20 if on_tpu else 2
     frames_np, _ = yolo_batch(scene_rng, batch, size=416)
 

@@ -82,3 +82,18 @@ def test_grayscale_dataset_emits_single_channel(tmp_path):
                            height=64, ts=False, bw=True)
     _, img, labels = ds[0]
     assert img.shape == (64, 64, 1)
+
+
+def test_conv_graph_flops_matches_published_yolov3():
+    """Analytic FLOP accounting (bench reporting) pinned to darknet's own
+    published figure: YOLOv3 at 416x416 = 65.86 BFLOPs."""
+    from mit_driverless_cv_traininginfra_tpu.config.flagship import flagship_spec
+    from mit_driverless_cv_traininginfra_tpu.utils.profiling import (
+        conv_graph_flops,
+        rektnet_flops,
+    )
+
+    spec = flagship_spec(416)
+    assert abs(conv_graph_flops(spec) / 1e9 - 65.86) < 0.05
+    # RektNet: 80x80, no downsampling, 311k params -> ~3.96 GFLOP/crop
+    assert abs(rektnet_flops() / 1e9 - 3.957) < 0.01
