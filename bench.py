@@ -372,9 +372,10 @@ def main():
         stages["e2e_ms"] = round(1000.0 / fps, 4)
         out_json["stages_per_frame_ms"] = stages
 
-        # p50 single-frame latency: device-side B=1 latency (chained runs
-        # under one fence — a per-run fence would measure the axon tunnel's
-        # RTT, not the chip)
+        # p50 single-frame latency: device-side B=1 latency. Chain DEEP
+        # (64) under one fence: per-call dispatch through the axon tunnel
+        # is ~0.4-1.4 ms and only pipelines away at depth ≫8 (measured:
+        # x8 ≈ 9 ms/frame of mostly tunnel, x128 ≈ 2.9 ms of mostly chip).
         frame = frames[:1]
         o = run(frame)
         _sync(o.keypoints, o.scores)
@@ -382,10 +383,10 @@ def main():
         for _ in range(5):
             t1 = time.perf_counter()
             o = None
-            for _ in range(8):
+            for _ in range(64):
                 o = run(frame)
             _sync(o.keypoints, o.scores)
-            lats.append((time.perf_counter() - t1) * 1000 / 8)
+            lats.append((time.perf_counter() - t1) * 1000 / 64)
         # steady-state per-frame device time, NOT cold single-dispatch
         # latency incl. transfer
         out_json["p50_device_frame_ms"] = round(sorted(lats)[len(lats) // 2], 2)

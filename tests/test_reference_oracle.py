@@ -254,3 +254,106 @@ def test_cross_ratio_loss_matches_reference(loss_type, include_geo):
     np.testing.assert_allclose(float(loc), float(loc_r), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(geo), float(geo_r), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(tot), float(tot_r), rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# geometry / tiling oracles (utils/utils.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parity
+def test_box_conversions_match_reference():
+    ref = _ref_modules()
+    from mit_driverless_cv_traininginfra_tpu.ops.boxes import (
+        add_padding_on_each_side,
+        scale_labels,
+        xyhw2xyxy_corner,
+        xywh2xyxy,
+        xyxy2xywh,
+    )
+
+    rng = np.random.default_rng(10)
+    xywh = rng.uniform(10, 300, (16, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(xywh2xyxy(xywh)),
+        ref["utils"].xywh2xyxy(torch.from_numpy(xywh)).numpy(), rtol=1e-6)
+    xyxy = rng.uniform(10, 300, (16, 4)).astype(np.float32)
+    xyxy[:, 2:] += xyxy[:, :2]
+    np.testing.assert_allclose(
+        np.asarray(xyxy2xywh(xyxy)),
+        ref["utils"].xyxy2xywh(torch.from_numpy(xyxy)).numpy(), rtol=1e-6)
+
+    # CSV-format labels [class, x, y, h, w] (h before w — reference quirk)
+    import jax.numpy as jnp
+
+    lab = np.zeros((8, 5), np.float32)
+    lab[:, 1:] = rng.uniform(5, 200, (8, 4))
+    np.testing.assert_allclose(
+        np.asarray(xyhw2xyxy_corner(jnp.asarray(lab))),
+        ref["utils"].xyhw2xyxy_corner(torch.from_numpy(lab.copy())).numpy(),
+        rtol=1e-6)
+    corner = np.asarray(xyhw2xyxy_corner(jnp.asarray(lab)))
+    np.testing.assert_allclose(
+        np.asarray(scale_labels(jnp.asarray(corner), 1.37)),
+        ref["utils"].scale_labels(torch.from_numpy(corner.copy()), 1.37).numpy(),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(add_padding_on_each_side(jnp.asarray(corner), 12, 7)),
+        ref["utils"].add_padding_on_each_side(
+            torch.from_numpy(corner.copy()), 12, 7).numpy(), rtol=1e-6)
+
+
+@pytest.mark.parity
+@pytest.mark.parametrize("hw", [(600, 400), (400, 600), (800, 800)])
+def test_calculate_padding_matches_reference(hw):
+    ref = _ref_modules()
+    from mit_driverless_cv_traininginfra_tpu.ops.boxes import calculate_padding
+
+    h, w = hw
+    assert (calculate_padding(h, w, 416, 416)
+            == ref["utils"].calculate_padding(h, w, 416, 416))
+
+
+@pytest.mark.parity
+def test_patch_tiling_matches_reference():
+    ref = _ref_modules()
+    from mit_driverless_cv_traininginfra_tpu.ops.patches import (
+        filter_and_offset_labels,
+        get_patch_bounds,
+        get_patch_spacings,
+        pre_tile_padding,
+    )
+
+    for iw, ih, pw, ph in [(1000, 700, 416, 416), (416, 416, 416, 416),
+                           (900, 900, 300, 450)]:
+        assert (pre_tile_padding(iw, ih, pw, ph)
+                == ref["utils"].pre_tile_padding(iw, ih, pw, ph))
+        padded_w, padded_h = iw + 2 * ref["utils"].pre_tile_padding(
+            iw, ih, pw, ph)[1], ih + 2 * ref["utils"].pre_tile_padding(
+            iw, ih, pw, ph)[0]
+        assert (get_patch_spacings(padded_w, padded_h, pw, ph)
+                == ref["utils"].get_patch_spacings(padded_w, padded_h, pw, ph))
+        n = get_patch_spacings(padded_w, padded_h, pw, ph)[2]
+
+        class FakeImg:  # the reference's get_patch only reads .size/.crop
+            size = (padded_w, padded_h)
+
+            def crop(self, b):
+                return b
+
+        for pi in range(n):
+            _, boundary = ref["utils"].get_patch(FakeImg(), pw, ph, pi)
+            assert tuple(get_patch_bounds(padded_w, padded_h, pw, ph, pi)) \
+                == tuple(boundary)
+
+    # label filtering against the patch boundary
+    rng = np.random.default_rng(11)
+    lab = np.zeros((10, 5), np.float32)
+    lab[:, 1:3] = rng.uniform(0, 800, (10, 2))
+    lab[:, 3:5] = lab[:, 1:3] + rng.uniform(10, 120, (10, 2))
+    boundary = (200.0, 150.0, 616.0, 566.0)
+    got = filter_and_offset_labels(lab.copy(), boundary)
+    want = ref["datasets"].filter_and_offset_labels(
+        torch.from_numpy(lab.copy()), boundary).numpy()
+    # both return zeros-of-input-shape when nothing survives (quirk kept)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
