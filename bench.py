@@ -329,9 +329,6 @@ def main():
         from mit_driverless_cv_traininginfra_tpu.infer.pipeline import (
             _postprocess,
         )
-        from mit_driverless_cv_traininginfra_tpu.ops.image import (
-            roi_crop_bilinear,
-        )
 
         if use_int8:
             det_fn = jax.jit(lambda f: detections_int8(
@@ -349,20 +346,28 @@ def main():
             kpt_fn = jax.jit(lambda c: rektnet.apply_folded(rp_c, c)[1])
         post_fn = jax.jit(lambda d: _postprocess(d, conf_thresh, 0.25,
                                                  max_det))
-        crop_fn = jax.jit(lambda f, b: roi_crop_bilinear(f, b, 80, 80))
+        from mit_driverless_cv_traininginfra_tpu.ops.image import (
+            roi_crop_bilinear_indexed,
+        )
+
+        C = crop_cap[0]
+        crop_fn = jax.jit(
+            lambda f, b, i: roi_crop_bilinear_indexed(f, b, i, 80, 80))
 
         dets = det_fn(frames)
         boxes, scores, mask = post_fn(dets)
-        crops = crop_fn(frames, boxes)
-        flat = crops.reshape(batch * max_det, 80, 80, frames.shape[-1])
-        flat = flat[:crop_cap[0]]  # keypoint stage runs compacted
+        key = jnp.where(mask.reshape(-1), -scores.reshape(-1), jnp.inf)
+        sel = jax.lax.top_k(-key, C)[1]
+        boxes_c = boxes.reshape(-1, 4)[sel]
+        fidx = (sel // max_det).astype(jnp.int32)
+        flat = crop_fn(frames, boxes_c, fidx)
 
         n = 10
         stages = {
             "detect_ms": _time_ms(lambda: det_fn(frames),
                                   lambda o: o[..., 4], n),
             "nms_ms": _time_ms(lambda: post_fn(dets), lambda o: o[1], n),
-            "crop_ms": _time_ms(lambda: crop_fn(frames, boxes),
+            "crop_ms": _time_ms(lambda: crop_fn(frames, boxes_c, fidx),
                                 lambda o: o[..., 0, 0, 0], n),
             "keypoint_ms": _time_ms(lambda: kpt_fn(flat),
                                     lambda o: o[..., 0], n),

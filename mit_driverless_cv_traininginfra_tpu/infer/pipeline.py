@@ -54,30 +54,38 @@ class PipelineOut(NamedTuple):
     keypoints: jnp.ndarray  # (B, K, 7, 2) xy in frame pixels
 
 
-def _keypoints_compacted(kpt_apply, crops, scores, mask, crop_capacity):
-    """Run the keypoint net on the valid crops only.
+def _crops_and_keypoints(kpt_apply, frames, boxes, scores, mask,
+                         crop_size: int, crop_capacity):
+    """ROI-crop + keypoint net, compacted to the valid detections.
 
     With trained conf sparsity most of the B·K fixed crop slots are masked
     padding; RektNet at 80×80 costs ~4 GFLOP *per crop*, so feeding it
-    invalid slots is the single largest waste in the fused pipeline. This
-    gathers the top-``crop_capacity`` crops GLOBALLY across the batch
-    (valid first, score-descending — frames keep their full ``max_det``
-    capacity; only the batch-total is capped), runs the net on that fixed-
-    size buffer, and scatters the points back. Bit-identical to the full
-    pass whenever #valid ≤ crop_capacity; overflow drops the lowest-score
-    detections' keypoints (zeros), never their boxes.
+    invalid slots is the single largest waste in the fused pipeline. With
+    ``crop_capacity=C`` this selects the top-C crops GLOBALLY across the
+    batch (valid first, score-descending — frames keep their full
+    ``max_det`` capacity; only the batch-total is capped), crops ONLY those
+    via the indexed matmul crop, runs the net on that fixed-size buffer,
+    and scatters the points back. Bit-identical to the dense pass whenever
+    #valid ≤ crop_capacity; overflow drops the lowest-score detections'
+    keypoints (zeros), never their boxes.
 
     ``crop_capacity=None`` (or ≥ B·K) keeps the dense path.
     """
+    from mit_driverless_cv_traininginfra_tpu.ops.image import (
+        roi_crop_bilinear_indexed,
+    )
+
     B, K = mask.shape
-    flat = crops.reshape(B * K, *crops.shape[2:])
     if crop_capacity is None or crop_capacity >= B * K:
-        pts = kpt_apply(flat)
-        return pts.reshape(B, K, 7, 2)
+        crops = roi_crop_bilinear(frames, boxes, crop_size, crop_size)
+        flat = crops.reshape(B * K, *crops.shape[2:])
+        return kpt_apply(flat).reshape(B, K, 7, 2)
     key = jnp.where(mask.reshape(-1), -scores.reshape(-1).astype(jnp.float32),
                     jnp.inf)
     sel = jax.lax.top_k(-key, crop_capacity)[1]
-    pts_c = kpt_apply(flat[sel])  # (C, 7, 2)
+    crops_c = roi_crop_bilinear_indexed(
+        frames, boxes.reshape(B * K, 4)[sel], sel // K, crop_size, crop_size)
+    pts_c = kpt_apply(crops_c)  # (C, 7, 2)
     pts = jnp.zeros((B * K, 7, 2), pts_c.dtype).at[sel].set(pts_c)
     return pts.reshape(B, K, 7, 2)
 
@@ -111,13 +119,12 @@ def two_stage_pipeline(
                            packed_stem=packed_stem, with_classes=False)
     boxes, scores, mask = _postprocess(dets, conf_thresh, nms_thresh, max_det)
 
-    crops = roi_crop_bilinear(frames, boxes, crop_size, crop_size)
     if "bn" in rekt_params["stem"]:
         kpt_apply = lambda c: rektnet.apply(rekt_params, rekt_state, c)[1]
     else:  # BN-folded serving params (rektnet.fold_bn)
         kpt_apply = lambda c: rektnet.apply_folded(rekt_params, c)[1]
-    pts = _keypoints_compacted(kpt_apply, crops, scores, mask,
-                               crop_capacity)  # in [0,1] crop coords
+    pts = _crops_and_keypoints(kpt_apply, frames, boxes, scores, mask,
+                               crop_size, crop_capacity)  # [0,1] crop coords
 
     x0y0 = boxes[..., None, 0:2]
     wh_box = (boxes[..., 2:4] - boxes[..., 0:2])[..., None, :]
@@ -154,9 +161,9 @@ def two_stage_pipeline_int8(
     dets = detections_int8(spec, yolo_q, frames, packed_stem_q=stem_q,
                            with_classes=False)
     boxes, scores, mask = _postprocess(dets, conf_thresh, nms_thresh, max_det)
-    crops = roi_crop_bilinear(frames, boxes, crop_size, crop_size)
-    pts = _keypoints_compacted(lambda c: apply_rektnet_int8(rekt_q, c)[1],
-                               crops, scores, mask, crop_capacity)
+    pts = _crops_and_keypoints(lambda c: apply_rektnet_int8(rekt_q, c)[1],
+                               frames, boxes, scores, mask, crop_size,
+                               crop_capacity)
     x0y0 = boxes[..., None, 0:2]
     wh_box = (boxes[..., 2:4] - boxes[..., 0:2])[..., None, :]
     kpts = x0y0 + pts * wh_box

@@ -119,6 +119,30 @@ def roi_crop_bilinear(frames, boxes, out_h: int = 80, out_w: int = 80):
 
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def roi_crop_bilinear_indexed(frames, boxes, frame_idx, out_h: int = 80,
+                              out_w: int = 80):
+    """Compacted ROI crop: (C,) crops addressed into the batch.
+
+    Args:
+        frames: (B, H, W, C) float frames.
+        boxes:  (C, 4) xyxy rectangles in frame pixels.
+        frame_idx: (C,) int32 — which frame each crop reads.
+
+    Bit-identical to :func:`roi_crop_bilinear` on the addressed slots (same
+    hat-matrix matmuls after a frame gather). Wins over the dense crop when
+    C ≪ B·K (measured 8.9 → 6.4 ms/batch at C=512 vs B·K=2048 on v5e —
+    the (C, H, W·ch) frame gather caps the gain, see PERF.md)."""
+    B, H, W, Cc = frames.shape
+    n = boxes.shape[0]
+    sx, sy = _crop_coords(boxes, out_h, out_w, H, W, frames.dtype)
+    Ry = _hat_matrix(sy, H)  # (C, oh, H)
+    Rx = _hat_matrix(sx, W)  # (C, ow, W)
+    fr = frames.reshape(B, H, W * Cc)[frame_idx]  # (C, H, W*Cc)
+    rows = jnp.einsum("cih,chm->cim", Ry, fr).reshape(n, out_h, W, Cc)
+    return jnp.einsum("cjw,ciwk->cijk", Rx, rows)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
 def roi_crop_bilinear_gather(frames, boxes, out_h: int = 80, out_w: int = 80):
     """Gather-based reference implementation of :func:`roi_crop_bilinear`
     (identical semantics; kept for cross-checking and CPU-bound callers)."""
