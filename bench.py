@@ -381,7 +381,13 @@ def main():
         # (64) under one fence: per-call dispatch through the axon tunnel
         # is ~0.4-1.4 ms and only pipelines away at depth ≫8 (measured:
         # x8 ≈ 9 ms/frame of mostly tunnel, x128 ≈ 2.9 ms of mostly chip).
+        # The B=1 serving config caps crops at max_det/2 (covers every
+        # scene up to 8 cones; the batch-wide capacity is meaningless at
+        # B=1) — reported as p50_crop_capacity.
         frame = frames[:1]
+        b1_cap = max_det // 2
+        saved_cap = crop_cap[0]
+        crop_cap[0] = b1_cap
         o = run(frame)
         _sync(o.keypoints, o.scores)
         lats = []
@@ -392,9 +398,11 @@ def main():
                 o = run(frame)
             _sync(o.keypoints, o.scores)
             lats.append((time.perf_counter() - t1) * 1000 / 64)
+        crop_cap[0] = saved_cap
         # steady-state per-frame device time, NOT cold single-dispatch
         # latency incl. transfer
         out_json["p50_device_frame_ms"] = round(sorted(lats)[len(lats) // 2], 2)
+        out_json["p50_crop_capacity"] = b1_cap
 
     print(json.dumps(out_json))
     return 0

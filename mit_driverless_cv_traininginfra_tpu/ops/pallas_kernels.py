@@ -261,7 +261,7 @@ def _xla_nms_topk(boxes, scores, conf_thresh: float, k: int, overlap: float):
 
 
 def nms_topk(boxes, scores, conf_thresh: float, k: int = 16,
-             overlap: float = 0.25):
+             overlap: float = 0.25, use_pallas: bool = False):
     """Fused conf-filter + top-k + greedy NMS per image.
 
     Returns (boxes (B,k,4), scores (B,k), keep (B,k) bool), where slot i is
@@ -269,9 +269,15 @@ def nms_topk(boxes, scores, conf_thresh: float, k: int = 16,
     place with keep=False; below-conf slots carry score -inf). Greedy
     suppression semantics match ops.nms (score-descending, suppress at
     IoU > overlap, no +1 convention) — only the layout differs from
-    ops.nms's front-compaction. Pallas on TPU; an XLA twin with the same
-    layout elsewhere (tests pin the agreement)."""
-    if jax.devices()[0].platform == "tpu":
+    ops.nms's front-compaction.
+
+    Default path is the XLA formulation on every platform: re-measured in
+    round 2 on trained-sparsity data it beats the Pallas kernel at both
+    B=1 (0.53 vs 0.66 ms) and B=128 (1.6 vs 2.9 ms/batch) on v5e — the
+    round-1 "12× standalone" reading didn't survive the honest bench. The
+    Pallas kernel is kept behind ``use_pallas=True`` (tests pin the two
+    paths agree)."""
+    if use_pallas and jax.devices()[0].platform == "tpu":
         b, s, _, keep = _pallas_nms_topk(boxes, scores, conf_thresh, k, overlap)
         return b, s, keep
     b, s, _, keep = _xla_nms_topk(boxes, scores, conf_thresh, k, overlap)
