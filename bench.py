@@ -264,12 +264,20 @@ def main():
         crops_cal, _ = rektnet_batch(np.random.default_rng(3), 32)
         rekt_q = quantize_rektnet_params(
             rp, calibrate_rektnet(rp, jnp.asarray(crops_cal)))
+        from mit_driverless_cv_traininginfra_tpu.ops.pallas_entry import (
+            entry_block_applicable,
+            quantize_entry,
+        )
+
+        entry_q = (quantize_entry(folded, amax)
+                   if entry_block_applicable(spec)
+                   and "--no-entry-kernel" not in sys.argv else None)
 
         def run(f):
             return two_stage_pipeline_int8(
                 spec, yolo_q, stem_q, rekt_q, f,
                 conf_thresh=conf_thresh, nms_thresh=0.25, max_det=max_det,
-                crop_capacity=crop_cap[0],
+                crop_capacity=crop_cap[0], entry_q=entry_q,
             )
     else:
         def run(f):
@@ -332,7 +340,8 @@ def main():
 
         if use_int8:
             det_fn = jax.jit(lambda f: detections_int8(
-                spec, yolo_q, f, packed_stem_q=stem_q, with_classes=False))
+                spec, yolo_q, f, packed_stem_q=stem_q, with_classes=False,
+                entry_q=entry_q))
             kpt_fn = jax.jit(
                 lambda c: apply_rektnet_int8(rekt_q, c)[1])
         else:

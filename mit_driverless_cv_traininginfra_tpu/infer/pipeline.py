@@ -36,8 +36,9 @@ from mit_driverless_cv_traininginfra_tpu.ops.image import roi_crop_bilinear
 def _postprocess(dets, conf_thresh: float, nms_thresh: float, max_det: int):
     """decode output (B, N, 5+C) → conf-filtered, NMS'd top-max_det boxes.
 
-    On TPU this is the fused Pallas threshold+top-k+NMS kernel (~12× the
-    vmapped XLA path); elsewhere the reference-semantics ops.nms."""
+    Uses the fixed-shape XLA threshold+top-k+NMS formulation (nms_topk
+    default — it beats the Pallas kernel at every batch size on the
+    trained-sparsity bench; the Pallas twin stays behind use_pallas)."""
     from mit_driverless_cv_traininginfra_tpu.ops.pallas_kernels import nms_topk
 
     conf = dets[..., 4]
@@ -148,18 +149,21 @@ def two_stage_pipeline_int8(
     max_det: int = 16,
     crop_size: int = 80,
     crop_capacity=None,
+    entry_q=None,
 ) -> PipelineOut:
     """int8 serving configuration of the pipeline: quantized YOLO backbone
     (incl. packed stem) and quantized RektNet, bf16 elsewhere. Params from
     :mod:`models.quantize` (calibrate → quantize_params /
-    quantize_packed_stem / quantize_rektnet_params)."""
+    quantize_packed_stem / quantize_rektnet_params). ``entry_q``
+    (ops.pallas_entry.quantize_entry) switches blocks 0-4 to the fused
+    4×4-conv1 + Pallas conv2p/res1 entry path."""
     from mit_driverless_cv_traininginfra_tpu.models.quantize import (
         apply_rektnet_int8,
         detections_int8,
     )
 
     dets = detections_int8(spec, yolo_q, frames, packed_stem_q=stem_q,
-                           with_classes=False)
+                           with_classes=False, entry_q=entry_q)
     boxes, scores, mask = _postprocess(dets, conf_thresh, nms_thresh, max_det)
     pts = _crops_and_keypoints(lambda c: apply_rektnet_int8(rekt_q, c)[1],
                                frames, boxes, scores, mask, crop_size,

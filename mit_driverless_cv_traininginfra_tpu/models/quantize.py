@@ -108,10 +108,17 @@ def _quantize_conv(w, b, amax_in: float):
 
 def _qconv(x, q, stride: int, padding, act_dtype, dilation: int = 1):
     """On-the-fly input quantization → int8 MXU conv → fused dequant+bias."""
-    if isinstance(padding, int):
-        padding = [(padding, padding), (padding, padding)]
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) * q["sx_inv"]),
                   -127, 127).astype(jnp.int8)
+    return _qconv_q8in(xq, q, stride, padding, act_dtype, dilation)
+
+
+def _qconv_q8in(xq, q, stride: int, padding, act_dtype, dilation: int = 1):
+    """int8-input variant of :func:`_qconv` — for producers that already
+    emit activations quantized with this conv's input scale (the fused
+    entry kernel's resq output)."""
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
     acc = jax.lax.conv_general_dilated(
         xq, q["wq"], (stride, stride), padding,
         rhs_dilation=(dilation, dilation),
@@ -132,19 +139,38 @@ def quantize_packed_stem(packed, amax: Dict[str, float]):
 
 
 def forward_features_int8(spec: NetworkSpec, qparams, x,
-                          act_dtype=jnp.bfloat16, packed_stem_q=None):
+                          act_dtype=jnp.bfloat16, packed_stem_q=None,
+                          entry_q=None):
     """int8 twin of ``forward_features`` (inference only). Returns the raw
-    pre-yolo head outputs. ``packed_stem_q`` (from
-    :func:`quantize_packed_stem`) replaces blocks 0/1 with the int8
-    space-to-depth stem — without it the 3-channel first conv alone costs
-    as much as a third of the backbone."""
+    pre-yolo head outputs.
+
+    ``packed_stem_q`` (from :func:`quantize_packed_stem`) replaces blocks
+    0/1 with the int8 space-to-depth stem — without it the 3-channel first
+    conv alone costs as much as a third of the backbone.
+
+    ``entry_q`` (from :mod:`ops.pallas_entry`.quantize_entry) replaces
+    blocks 0-4 with the fused entry path — 4×4/s2 conv1 in XLA + one
+    VMEM-resident Pallas program for conv2p/res1 (takes precedence over
+    ``packed_stem_q``; requires ``entry_block_applicable(spec)``)."""
     from mit_driverless_cv_traininginfra_tpu.models.stem_opt import pack_input
 
     outputs = []
     layer_outputs = []
     x = jnp.asarray(x, act_dtype)
     start = 0
-    if packed_stem_q is not None:
+    if entry_q is not None:
+        from mit_driverless_cv_traininginfra_tpu.ops.pallas_entry import (
+            entry_forward_int8,
+        )
+
+        resq = entry_forward_int8(entry_q, x, spec.net.leaky_slope)
+        x = _leaky(_qconv_q8in(resq, qparams["5"], 2, 1, act_dtype),
+                   spec.net.leaky_slope)
+        # blocks 0-4 are never routed to (entry_block_applicable); pad the
+        # output list so absolute/relative indexing stays aligned
+        layer_outputs = [x] * 6
+        start = 6
+    elif packed_stem_q is not None:
         xp = pack_input(x)
         h = _qconv(xp, packed_stem_q["c1"], 1, 1, act_dtype)
         h = _leaky(h, spec.net.leaky_slope)
@@ -249,12 +275,14 @@ def apply_rektnet_int8(q, x, act_dtype=jnp.bfloat16, hm_only: bool = False):
 
 
 def detections_int8(spec: NetworkSpec, qparams, x, act_dtype=jnp.bfloat16,
-                    packed_stem_q=None, with_classes: bool = True):
+                    packed_stem_q=None, with_classes: bool = True,
+                    entry_q=None):
     """int8 eval forward + standard decode. Returns (B, ΣA·H·W, 5+C)
     (or 5 if with_classes=False)."""
     from mit_driverless_cv_traininginfra_tpu.models.darknet import decode_head
 
-    heads = forward_features_int8(spec, qparams, x, act_dtype, packed_stem_q)
+    heads = forward_features_int8(spec, qparams, x, act_dtype, packed_stem_q,
+                                  entry_q=entry_q)
     yolo_blocks = [b for b in spec.blocks if isinstance(b, YoloBlock)]
     decoded = [
         decode_head(h.astype(jnp.float32), yb.anchors, spec.net.height,
