@@ -1,13 +1,22 @@
-"""Fused residual-stage Pallas kernel for the int8 serving graph.
+"""Fused residual-stage Pallas kernel — EXPERIMENTAL, measured dead end.
 
-Darknet-53's 26² stage (8 residual blocks of [1×1 C→C/2 leaky, 3×3 C/2→C
-leaky, shortcut add], reference CVC-YOLOv3/models.py:15-110 / the cfg's
-512-filter run) measures ~204 int8 TOPS through XLA on v5e while the 52²
-stage hits 317 (tools/profile_detect.py): at 26×26 the per-image conv M-dim
-is tiny and every block round-trips its activations through HBM. This
-kernel runs a whole stage — all ``n_blocks`` residual blocks — in ONE
+Runs a whole Darknet-53 residual stage (n_blocks × [1×1 C→C/2 leaky, 3×3
+C/2→C leaky, shortcut add], reference CVC-YOLOv3/models.py:15-110) in ONE
 Pallas program per group of G images: activations and weights
 VMEM-resident, int8 MXU matmuls with int32 accumulation.
+
+**Round-2 verdict (tools/bench_resstage.py, v5e, B=128, 26² stage): NOT
+adopted.** The depth-32 honest re-measure shows XLA already runs the 26²
+stage at ~299 int8 TOPS (6.76 ms; the round-2 profiler's 204-TOPS reading
+was axon-dispatch-gap contamination at chain depth 10) — and this kernel
+measures 8.4 ms (~240 TOPS): the 9 per-tap dot_generals materialise int32
+accumulators in VMEM between taps, where XLA's conv emitter keeps the
+multi-tap accumulation in registers. On-chip numerics also drift: the bf16
+residual carrier accumulates fma-ordering differences across 8 blocks
+(74.8% exact agreement, ±4 int8 steps at the output; interpret mode is
+bit-exact). Kept as tested reference code for band-fused res-stage
+designs; do not wire into serving without (a) an im2col-K=2304 single
+matmul for the 3×3 (kills the int32 round-trips) and (b) an f32 carrier.
 
 Layout: flat 2D. Each image is a zero-bordered (S+2)×(S+2) patch flattened
 to P=(S+2)² rows; G images stack to (G·P, C). A 3×3 tap is then ONE
