@@ -1,0 +1,75 @@
+"""Adaptive crop-capacity policy for the two-stage serving pipeline.
+
+The fused pipeline runs RektNet only on the top-``crop_capacity``
+detections across the batch (crop compaction — see infer.pipeline).
+Capacity is a static shape: changing it recompiles, so a serving process
+wants a policy that (a) tracks the actual detection load, (b) keeps
+enough headroom that overflow (dropped keypoints for the lowest-score
+boxes) stays rare, and (c) quantises to a few buckets so recompiles are
+one-off (jit caches per bucket).
+
+``AdaptiveCapacity`` implements the p99-margin policy from PERF.md: keep
+a sliding window of observed batch loads, set
+
+    capacity = quantum · ceil(margin · p99(window) / quantum)
+
+clamped to [floor, batch·max_det]. The reference has no analogue (its
+two stages are separate host processes, README.md:59); this is the
+TPU-native replacement for that elastic boundary.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+
+
+class AdaptiveCapacity:
+    """Sliding-window p99 capacity controller.
+
+    Args:
+        floor: minimum capacity (compile-time lower bound).
+        margin: multiplicative headroom over the p99 load.
+        quantum: capacities are rounded up to multiples of this (keeps the
+            RektNet batch MXU-tiled and bounds the number of recompiles).
+        window: number of recent batch loads retained.
+        warmup_capacity: returned until the first observation.
+    """
+
+    def __init__(self, floor: int = 256, margin: float = 1.25,
+                 quantum: int = 128, window: int = 64,
+                 warmup_capacity: int | None = None):
+        if floor % quantum:
+            floor = quantum * -(-floor // quantum)
+        self.floor = floor
+        self.margin = margin
+        self.quantum = quantum
+        self.loads: deque[int] = deque(maxlen=window)
+        self.warmup_capacity = warmup_capacity if warmup_capacity else floor
+        self.overflows = 0
+        self.observations = 0
+
+    def observe(self, n_valid: int, capacity: int | None = None) -> None:
+        """Record one batch's total valid detections. ``capacity`` (the
+        capacity that batch ran with) tracks overflow statistics."""
+        self.loads.append(int(n_valid))
+        self.observations += 1
+        if capacity is not None and n_valid > capacity:
+            self.overflows += 1
+
+    def observe_mask(self, mask, capacity: int | None = None) -> None:
+        """Convenience: observe from the pipeline's (B, K) validity mask.
+        Forces a device→host read of one scalar — call every few batches
+        in latency-sensitive serving."""
+        self.observe(int(np.asarray(mask).sum()), capacity)
+
+    def capacity(self, batch: int, max_det: int) -> int:
+        """Current capacity choice (multiple of ``quantum``)."""
+        hard_cap = batch * max_det
+        if not self.loads:
+            return min(self.warmup_capacity, hard_cap)
+        p99 = float(np.quantile(np.asarray(self.loads, np.float64), 0.99))
+        want = self.margin * p99
+        cap = self.quantum * max(1, -(-int(np.ceil(want)) // self.quantum))
+        return int(min(max(cap, self.floor), hard_cap))

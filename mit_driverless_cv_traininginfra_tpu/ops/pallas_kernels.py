@@ -247,16 +247,19 @@ def _xla_nms_topk(boxes, scores, conf_thresh: float, k: int, overlap: float):
     valid0 = jnp.isfinite(top_val)
     slot = jnp.arange(k)
 
-    def body(i, carry):
-        alive, kept = carry  # (B, k) bool
+    # Greedy suppression, unrolled (k is small and static): a fori_loop
+    # here costs 16 sequential dispatches inside the program — at B=1 that
+    # dominated NMS latency; the unrolled chain fuses into a handful of
+    # fused elementwise kernels.
+    alive = valid0
+    kept_cols = []
+    for i in range(k):
         is_kept = alive[:, i]
-        kept = kept.at[:, i].set(is_kept)
+        kept_cols.append(is_kept)
         later = slot[None, :] > i
         suppress = later & (iou[:, i, :] > overlap) & is_kept[:, None]
-        return alive & ~suppress, kept
-
-    _, kept = jax.lax.fori_loop(
-        0, k, body, (valid0, jnp.zeros(valid0.shape, bool)))
+        alive = alive & ~suppress
+    kept = jnp.stack(kept_cols, axis=1)
     return cand, top_val, top_idx, kept
 
 
