@@ -383,7 +383,9 @@ def main():
         fidx = (sel // max_det).astype(jnp.int32)
         flat = crop_fn(frames, boxes_c, fidx)
 
-        n = 10
+        # depth 32: shorter chains leave axon dispatch gaps in sub-5ms
+        # stages (PERF.md measurement discipline)
+        n = 32
         stages = {
             "detect_ms": _time_ms(lambda: det_fn(frames),
                                   lambda o: o[..., 4], n),
