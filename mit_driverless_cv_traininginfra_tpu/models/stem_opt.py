@@ -24,6 +24,13 @@ original 1-pixel zero padding (the extra covered row has zero weights).
 Applies to any spec whose first two blocks are [Conv(k=3, s=1, BN-folded),
 Conv(k=3, s=2, BN-folded)] — i.e. the standard YOLOv3 stem. Used on the
 serving path only (inference, folded BN); training keeps the plain graph.
+
+NOTE (round 2): on the int8 serving path this packed stem is superseded by
+the fused entry (ops/pallas_entry): conv1p is algebraically a 4×4 stride-2
+conv on the raw frames (same integers, half the MACs, no space-to-depth
+transpose). The packed form remains the bf16-serving and
+fallback-spec path, and quantize_packed_stem still derives the entry's
+conv2p weights from ``build_packed_stem``.
 """
 
 from __future__ import annotations
