@@ -1,0 +1,70 @@
+"""TwoStageServer (infer/serving.py): pipeline + capacity policy glue."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mit_driverless_cv_traininginfra_tpu.config import load_network_spec
+from mit_driverless_cv_traininginfra_tpu.infer.capacity import (
+    AdaptiveCapacity,
+)
+from mit_driverless_cv_traininginfra_tpu.infer.serving import TwoStageServer
+from mit_driverless_cv_traininginfra_tpu.models import rektnet
+from mit_driverless_cv_traininginfra_tpu.models.darknet import (
+    fold_bn,
+    init_params,
+)
+from mit_driverless_cv_traininginfra_tpu.models.quantize import (
+    calibrate,
+    calibrate_rektnet,
+    quantize_params,
+    quantize_rektnet_params,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "tiny_test.cfg")
+
+
+def _server(policy=None, observe_every=1):
+    spec = load_network_spec(FIXTURE, vanilla_anchor=True)
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    folded = fold_bn(params, state, spec)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    amax = calibrate(spec, folded, frames)
+    yolo_q = quantize_params(spec, folded, amax)
+    rp, rs = rektnet.init(jax.random.PRNGKey(1))
+    rpf = rektnet.fold_bn(rp, rs)
+    rekt_q = quantize_rektnet_params(
+        rpf, calibrate_rektnet(rpf, jnp.asarray(rng.random((4, 80, 80, 3)),
+                                                jnp.float32)))
+    srv = TwoStageServer.from_params(
+        spec, yolo_q, None, rekt_q, conf_thresh=0.1, max_det=4,
+        policy=policy, observe_every=observe_every)
+    return srv, frames
+
+
+def test_server_runs_and_observes():
+    srv, frames = _server(policy=AdaptiveCapacity(floor=8, quantum=8,
+                                                  warmup_capacity=8))
+    out = srv(frames)
+    B, K = frames.shape[0], srv.max_det
+    assert out.boxes.shape == (B, K, 4)
+    assert out.keypoints.shape == (B, K, 7, 2)
+    assert srv.current_capacity == 8
+    assert len(srv.policy.loads) == 1          # observed on the first call
+
+
+def test_server_capacity_adapts():
+    pol = AdaptiveCapacity(floor=2, quantum=2, window=4, margin=1.0,
+                           warmup_capacity=2)
+    srv, frames = _server(policy=pol, observe_every=1)
+    srv(frames)
+    first_cap = srv.current_capacity
+    # inject a high-load history: the next call must pick a bigger bucket
+    for _ in range(4):
+        pol.observe(7)
+    srv(frames)
+    assert srv.current_capacity == 8           # 2*ceil(7/2), ≤ B*K
+    assert srv.current_capacity > first_cap
