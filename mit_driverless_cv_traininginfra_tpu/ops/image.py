@@ -66,7 +66,13 @@ def letterbox(x, out_h: int, out_w: int, fill: float = GREY):
 def _crop_coords(boxes, out_h: int, out_w: int, H: int, W: int, dtype):
     """Source sampling centres with half-pixel convention, border-replicated
     at the CROP edge (cv2 crop-then-resize: samples never leak outside the
-    box), then clipped to the frame."""
+    box), then clipped to the frame.
+
+    Coordinates are computed in ``dtype`` (the frame dtype): boxes arrive
+    f32 from NMS, and without the cast the hat matrices — and therefore the
+    crop einsums and the crops themselves — silently promote to f32 (which
+    also broke the bf16 keypoint path with a conv dtype mismatch)."""
+    boxes = boxes.astype(dtype)
     x0, y0, x1, y1 = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
     bw = jnp.maximum(x1 - x0, 1e-3)
     bh = jnp.maximum(y1 - y0, 1e-3)

@@ -125,3 +125,26 @@ def test_crop_capacity_overflow_drops_lowest_scores():
     match = np.isclose(kc, kd, rtol=1e-5, atol=1e-5).all(axis=(1, 2))
     assert match.sum() == cap, (match.sum(), cap)
     assert not match[valid_scores.argsort()[0]]
+
+
+def test_pipeline_bf16_params():
+    """bf16 serving params + bf16 frames must run end-to-end: NMS emits f32
+    boxes, and the crop must follow the FRAME dtype (regression: f32 boxes
+    used to promote the crops and crash the folded keypoint conv)."""
+    import jax
+
+    from mit_driverless_cv_traininginfra_tpu.models.darknet import fold_bn
+
+    spec, yp, ys, rp, rs = _setup()
+    folded = fold_bn(yp, ys, spec)
+    rpf = rektnet.fold_bn(rp, rs)
+    to_c = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), t)
+    frames = jnp.asarray(
+        np.random.default_rng(5).random((2, 64, 64, 3)), jnp.bfloat16)
+    for cap in (None, 4):
+        out = two_stage_pipeline(spec, to_c(folded), {}, to_c(rpf), {},
+                                 frames, conf_thresh=0.1, max_det=4,
+                                 crop_capacity=cap)
+        assert out.keypoints.shape == (2, 4, 7, 2)
+        assert np.all(np.isfinite(np.asarray(out.keypoints, np.float32)))
