@@ -63,15 +63,19 @@ def letterbox(x, out_h: int, out_w: int, fill: float = GREY):
     return resize_bilinear(padded, out_h, out_w), (pad_h, pad_w, ratio)
 
 
-def _crop_coords(boxes, out_h: int, out_w: int, H: int, W: int, dtype):
+def _crop_coords(boxes, out_h: int, out_w: int, H: int, W: int):
     """Source sampling centres with half-pixel convention, border-replicated
     at the CROP edge (cv2 crop-then-resize: samples never leak outside the
     box), then clipped to the frame.
 
-    Coordinates are computed in ``dtype`` (the frame dtype): boxes arrive
-    f32 from NMS, and without the cast the hat matrices — and therefore the
-    crop einsums and the crops themselves — silently promote to f32 (which
-    also broke the bf16 keypoint path with a conv dtype mismatch)."""
+    Coordinates are ALWAYS computed in f32: bf16 integer resolution above
+    256 is 2.0, so bf16 coordinate math collides sample centres with the
+    pixel grid for boxes in the right/bottom part of a 416 frame (crop
+    pixel error up to 6.5 measured — advisor finding r2). The bf16 einsum
+    speedup is recovered downstream: callers cast the HAT WEIGHTS (which
+    live in [0,1], where bf16 relative precision is fine) to the frame
+    dtype just before the contraction — see ``roi_crop_bilinear``."""
+    dtype = jnp.float32
     boxes = boxes.astype(dtype)
     x0, y0, x1, y1 = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
     bw = jnp.maximum(x1 - x0, 1e-3)
@@ -115,9 +119,11 @@ def roi_crop_bilinear(frames, boxes, out_h: int = 80, out_w: int = 80):
     crop/resize between the two ONNX models (README.md:59 pipeline).
     """
     B, H, W, C = frames.shape
-    sx, sy = _crop_coords(boxes, out_h, out_w, H, W, frames.dtype)
-    Ry = _hat_matrix(sy, H)  # (B, K, oh, H)
-    Rx = _hat_matrix(sx, W)  # (B, K, ow, W)
+    sx, sy = _crop_coords(boxes, out_h, out_w, H, W)
+    # hat weights are in [0,1] — safe to carry in the frame dtype; the
+    # coordinate math above must stay f32 (see _crop_coords)
+    Ry = _hat_matrix(sy, H).astype(frames.dtype)  # (B, K, oh, H)
+    Rx = _hat_matrix(sx, W).astype(frames.dtype)  # (B, K, ow, W)
     fr = frames.reshape(B, H, W * C)
     rows = jnp.einsum("bkih,bhm->bkim", Ry, fr)  # (B, K, oh, W*C)
     rows = rows.reshape(B, boxes.shape[1], out_h, W, C)
@@ -140,9 +146,9 @@ def roi_crop_bilinear_indexed(frames, boxes, frame_idx, out_h: int = 80,
     the (C, H, W·ch) frame gather caps the gain, see PERF.md)."""
     B, H, W, Cc = frames.shape
     n = boxes.shape[0]
-    sx, sy = _crop_coords(boxes, out_h, out_w, H, W, frames.dtype)
-    Ry = _hat_matrix(sy, H)  # (C, oh, H)
-    Rx = _hat_matrix(sx, W)  # (C, ow, W)
+    sx, sy = _crop_coords(boxes, out_h, out_w, H, W)
+    Ry = _hat_matrix(sy, H).astype(frames.dtype)  # (C, oh, H)
+    Rx = _hat_matrix(sx, W).astype(frames.dtype)  # (C, ow, W)
     fr = frames.reshape(B, H, W * Cc)[frame_idx]  # (C, H, W*Cc)
     rows = jnp.einsum("cih,chm->cim", Ry, fr).reshape(n, out_h, W, Cc)
     return jnp.einsum("cjw,ciwk->cijk", Rx, rows)
@@ -153,7 +159,7 @@ def roi_crop_bilinear_gather(frames, boxes, out_h: int = 80, out_w: int = 80):
     """Gather-based reference implementation of :func:`roi_crop_bilinear`
     (identical semantics; kept for cross-checking and CPU-bound callers)."""
     B, H, W, C = frames.shape
-    sx, sy = _crop_coords(boxes, out_h, out_w, H, W, frames.dtype)
+    sx, sy = _crop_coords(boxes, out_h, out_w, H, W)
 
     x0i = jnp.floor(sx).astype(jnp.int32)
     y0i = jnp.floor(sy).astype(jnp.int32)

@@ -81,12 +81,16 @@ def entry_block_applicable(spec: NetworkSpec) -> bool:
         return False
     for i, blk in enumerate(b[5:], start=5):
         # routes carry absolute indices when non-negative, python-style
-        # relative ones when negative (layer_outputs has i entries)
+        # relative ones when negative (layer_outputs has i entries).
+        # The fused path pads layer_outputs slots 0-5 with block-5's
+        # output, so ONLY index 5 aliases correctly — a reference to
+        # block 4 (the shortcut's bf16 output) would silently read
+        # block 5's instead (advisor finding r2). Reject < 5.
         layers = getattr(blk, "layers", None)
-        if layers and any((li if li >= 0 else i + li) < 4 for li in layers):
+        if layers and any((li if li >= 0 else i + li) < 5 for li in layers):
             return False
         frm = getattr(blk, "from_layer", None)  # shortcuts: relative
-        if frm is not None and i + frm < 4:
+        if frm is not None and i + frm < 5:
             return False
     return True
 

@@ -8,6 +8,7 @@ from mit_driverless_cv_traininginfra_tpu.ops.image import (
     pad_to,
     resize_bilinear,
     roi_crop_bilinear,
+    roi_crop_bilinear_indexed,
 )
 
 
@@ -61,6 +62,31 @@ def test_roi_crop_batched_shapes():
     boxes = jnp.zeros((2, 5, 4))
     out = roi_crop_bilinear(frames, boxes, 80, 80)
     assert out.shape == (2, 5, 80, 80, 3)
+
+
+def test_roi_crop_bf16_frames_high_coords():
+    """Advisor r2 (high): bf16 integer resolution above 256 is 2.0, so
+    coordinate math done in the frame dtype corrupts crops for boxes in the
+    right/bottom ~40% of a 416 frame. Coordinates must stay f32; only the
+    hat weights may be bf16. Pin the bf16-vs-f32 crop error for a far box."""
+    rng = np.random.default_rng(7)
+    frame32 = jnp.asarray(rng.uniform(0, 1, (1, 416, 416, 3)), jnp.float32)
+    boxes = jnp.asarray([[[320.0, 320.0, 400.0, 400.0]]])
+    ref = np.asarray(roi_crop_bilinear(frame32, boxes, 80, 80)[0, 0])
+
+    crop_bf = roi_crop_bilinear(frame32.astype(jnp.bfloat16), boxes, 80, 80)
+    assert crop_bf.dtype == jnp.bfloat16  # the einsums must stay bf16
+    err = np.abs(np.asarray(crop_bf[0, 0], np.float32) - ref).max()
+    # bf16 hat weights + bf16 frames bound the error near bf16 eps on [0,1];
+    # the broken coordinate path measured err up to 6.5 here
+    assert err < 0.05, err
+
+    crop_ix = roi_crop_bilinear_indexed(
+        frame32.astype(jnp.bfloat16), boxes[0], jnp.zeros((1,), jnp.int32),
+        80, 80)
+    assert crop_ix.dtype == jnp.bfloat16
+    err_ix = np.abs(np.asarray(crop_ix[0], np.float32) - ref).max()
+    assert err_ix < 0.05, err_ix
 
 
 def test_resize_bilinear_matches_cv2():
