@@ -38,7 +38,8 @@ def main(argv=None) -> int:
     add_bool_arg(parser, "save_checkpoints", True, "save checkpoints")
     add_bool_arg(parser, "cross_batch_geo", True,
                  "reference cross-batch geo-loss semantics")
-    add_bool_arg(parser, "mixed_precision", False, "bf16 compute with f32 master weights")
+    # default None -> driver "auto": bf16 on TPU (tools/bench_train.py), f32 elsewhere
+    add_bool_arg(parser, "mixed_precision", None, "bf16 compute with f32 master weights")
     add_bool_arg(parser, "device_targets", False, "synthesise heatmap targets on-device")
     add_bool_arg(parser, "resume", False, "resume from the output_path orbax checkpoint")
     add_bool_arg(parser, "vis_upload_data", False,
@@ -78,7 +79,7 @@ def main(argv=None) -> int:
         num_workers=opt.num_workers,
         n_devices=opt.n_devices,
         seed=opt.seed,
-        mixed_precision=opt.mixed_precision,
+        mixed_precision=("auto" if opt.mixed_precision is None else opt.mixed_precision),
         device_targets=opt.device_targets,
         resume=opt.resume,
         vis_upload_data=opt.vis_upload_data,

@@ -42,7 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=17)
     boolarg("evaluate", False, "evaluate only, no training")
     boolarg("resume", False, "resume from the output_path orbax checkpoint")
-    boolarg("mixed_precision", False, "bf16 compute with f32 master weights")
+    # default None → driver's "auto": bf16 on TPU (measured 1.76x,
+    # tools/bench_train.py), f32 elsewhere; --no_mixed_precision pins f32
+    boolarg("mixed_precision", None, "bf16 compute with f32 master weights")
     boolarg("device_aug", False, "run augmentation on-device inside the train step")
     boolarg("augment_affine", False, "enable affine augmentation")
     boolarg("augment_hsv", False, "enable HSV jitter")
@@ -79,6 +81,8 @@ def main(argv=None) -> int:
         k: v for k, v in vars(opt).items()
         if k not in ("upload_dataset",)
     }
+    if kwargs.get("mixed_precision") is None:
+        kwargs["mixed_precision"] = "auto"
     yolo_driver.main(**kwargs)
     return 0
 

@@ -6,8 +6,11 @@ program per (batch, capacity) bucket, and this wrapper owns the pieces a
 server process needs around it:
 
 - the int8 (or bf16) parameter bundles,
-- the AdaptiveCapacity policy (p99-margin crop capacity, quantised so jit
-  recompiles are one-off per bucket),
+- the AdaptiveCapacity policy (p99-margin crop capacity with shrink
+  hysteresis, quantised so jit recompiles are one-off per bucket),
+- ``warmup()`` — precompile the bucket lattice up front so NOTHING
+  compiles on the serving path (a cold compile through the axon tunnel
+  takes minutes; on a race car that's a dropped session),
 - periodic load observation (a single device→host scalar every
   ``observe_every`` batches — off the hot path).
 
@@ -15,13 +18,18 @@ Usage::
 
     server = TwoStageServer.from_params(spec, yolo_q, stem_q, rekt_q,
                                         entry_q=entry_q, conf_thresh=0.8)
-    out = server(frames)          # PipelineOut; recompiles only on a new
-                                  # (batch, capacity) bucket
+    server.warmup([128], capacities=[256, 384, 512])   # pre-deploy
+    out = server(frames)        # PipelineOut; never compiles after warmup
+    server.stats()              # overflow / clamp / compile counters
 """
 
 from __future__ import annotations
 
-from typing import Optional
+import time
+from typing import Iterable, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
 
 from mit_driverless_cv_traininginfra_tpu.infer.capacity import (
     AdaptiveCapacity,
@@ -35,7 +43,14 @@ from mit_driverless_cv_traininginfra_tpu.infer.pipeline import (
 
 class TwoStageServer:
     """Callable serving frontend over the fused detect→crop→keypoints
-    pipeline with policy-driven crop capacity."""
+    pipeline with policy-driven crop capacity.
+
+    After :meth:`warmup`, the serving path never compiles: if the policy
+    asks for a bucket that wasn't warmed, the call is clamped to the
+    nearest warmed bucket ≥ the want (or the largest warmed one) and
+    ``bucket_clamps`` counts it. Without warmup the pre-r3 behavior is
+    kept (compile on first use of each bucket, counted in ``compiles``).
+    """
 
     def __init__(self, spec, *, yolo_q=None, stem_q=None, rekt_q=None,
                  entry_q=None, yolo_params=None, rekt_params=None,
@@ -60,29 +75,112 @@ class TwoStageServer:
         self.observe_every = max(1, observe_every)
         self.calls = 0
         self.current_capacity: Optional[int] = None
+        # bucket bookkeeping
+        self.warmed: set[tuple[int, int]] = set()   # (batch, capacity)
+        self.seen: set[tuple[int, int]] = set()     # buckets executed
+        self.compiles = 0        # serving-path calls on an unseen bucket
+        self.bucket_clamps = 0   # wants redirected to a warmed bucket
+        self.warmup_seconds: float = 0.0
 
     @classmethod
     def from_params(cls, spec, yolo_q, stem_q, rekt_q, **kw):
         return cls(spec, yolo_q=yolo_q, stem_q=stem_q, rekt_q=rekt_q, **kw)
 
-    def __call__(self, frames) -> PipelineOut:
-        B = frames.shape[0]
-        cap = self.policy.capacity(B, self.max_det)
-        self.current_capacity = cap
+    # -- compilation control ------------------------------------------------
+
+    def warmup(self, batch_sizes: Iterable[int],
+               capacities: Optional[Sequence[int]] = None,
+               frame_size: Optional[int] = None,
+               frame_dtype=None) -> float:
+        """Precompile the (batch, capacity) bucket lattice.
+
+        ``capacities`` defaults to every policy bucket from ``floor`` up to
+        one quantum above the policy's current choice (covering the
+        immediate grow/shrink moves); pass the lattice explicitly for full
+        control. ``frame_dtype`` MUST match the dtype frames will be served
+        in (jit caches key on it; default bf16 for the int8 config, f32
+        otherwise). Returns wall seconds spent compiling (also recorded in
+        ``warmup_seconds``). Runs each bucket once on zero frames and
+        fences with a device→host read, so jit caches are hot."""
+        size = frame_size or self.spec.net.height
+        if frame_dtype is None:
+            frame_dtype = (jnp.bfloat16 if self.yolo_q is not None
+                           else jnp.float32)
+        t0 = time.perf_counter()
+        for B in batch_sizes:
+            caps = capacities
+            if caps is None:
+                top = max(self.policy.capacity(B, self.max_det),
+                          self.policy.floor) + self.policy.quantum
+                caps = list(range(self.policy.floor, top + 1,
+                                  self.policy.quantum))
+            frames = jnp.zeros((B, size, size, 3), frame_dtype)
+            for cap in caps:
+                cap = int(min(cap, B * self.max_det))
+                out = self._run(frames, cap)
+                float(jnp.sum(out.scores))  # fence (axon: block_until_ready
+                # is a no-op through the tunnel)
+                self.warmed.add((B, cap))
+                self.seen.add((B, cap))
+        self.warmup_seconds += time.perf_counter() - t0
+        return self.warmup_seconds
+
+    def _pick_bucket(self, B: int, want: int) -> int:
+        """Clamp the policy's want to a warmed bucket for this batch size
+        (no-op when nothing was warmed for B — then we compile and count)."""
+        warmed = sorted(c for (b, c) in self.warmed if b == B)
+        if not warmed:
+            return want
+        bigger = [c for c in warmed if c >= want]
+        cap = bigger[0] if bigger else warmed[-1]
+        if cap != want:
+            self.bucket_clamps += 1
+        return cap
+
+    # -- serving ------------------------------------------------------------
+
+    def _run(self, frames, cap: int) -> PipelineOut:
         if self.yolo_q is not None:
-            out = two_stage_pipeline_int8(
+            return two_stage_pipeline_int8(
                 self.spec, self.yolo_q, self.stem_q, self.rekt_q, frames,
                 conf_thresh=self.conf_thresh, nms_thresh=self.nms_thresh,
                 max_det=self.max_det, crop_size=self.crop_size,
                 crop_capacity=cap, entry_q=self.entry_q)
-        else:
-            out = two_stage_pipeline(
-                self.spec, self.yolo_params, {}, self.rekt_params, {},
-                frames, conf_thresh=self.conf_thresh,
-                nms_thresh=self.nms_thresh, max_det=self.max_det,
-                crop_size=self.crop_size, packed_stem=self.packed_stem,
-                crop_capacity=cap)
+        return two_stage_pipeline(
+            self.spec, self.yolo_params, {}, self.rekt_params, {},
+            frames, conf_thresh=self.conf_thresh,
+            nms_thresh=self.nms_thresh, max_det=self.max_det,
+            crop_size=self.crop_size, packed_stem=self.packed_stem,
+            crop_capacity=cap)
+
+    def __call__(self, frames) -> PipelineOut:
+        B = frames.shape[0]
+        cap = self.policy.capacity(B, self.max_det)
+        if self.warmed:
+            cap = self._pick_bucket(B, cap)
+        if (B, cap) not in self.seen:
+            self.compiles += 1
+            self.seen.add((B, cap))
+        self.current_capacity = cap
+        out = self._run(frames, cap)
         self.calls += 1
         if self.calls % self.observe_every == 0 or len(self.policy.loads) == 0:
             self.policy.observe_mask(out.mask, cap)
         return out
+
+    def stats(self) -> dict:
+        """Serving counters for observability dashboards."""
+        return {
+            "calls": self.calls,
+            "compiles": self.compiles,
+            "bucket_clamps": self.bucket_clamps,
+            "warmed_buckets": sorted(self.warmed),
+            "warmup_seconds": round(self.warmup_seconds, 2),
+            "overflows": self.policy.overflows,
+            "observations": self.policy.observations,
+            "grows": self.policy.grows,
+            "shrinks": self.policy.shrinks,
+            "current_capacity": self.current_capacity,
+            "mean_load": (float(np.mean(self.policy.loads))
+                          if self.policy.loads else None),
+        }

@@ -116,11 +116,16 @@ def main(*, train_dataset_uri: str, dataset_path: str,
          save_checkpoints: bool = True, cache_location: Optional[str] = None,
          checkpoint_path: Optional[str] = None, num_workers: int = 0,
          n_devices: Optional[int] = None, seed: int = 17,
-         mixed_precision: bool = False, device_targets: bool = False,
+         mixed_precision="auto", device_targets: bool = False,
          resume: bool = False, vis_upload_data: bool = False,
          post_run_shutdown: bool = False,
          kpt_keys: Sequence[str] = tuple(DEFAULT_KEYPOINT_KEYS)):
     os.makedirs(output_path, exist_ok=True)
+    # mixed_precision="auto": bf16 compute on TPU, f32 elsewhere (measured
+    # 1.6x step speedup on v5e — tools/bench_train.py, PERF.md Training);
+    # parity runs pass --no_mixed_precision.
+    if mixed_precision == "auto":
+        mixed_precision = jax.default_backend() == "tpu"
     ti, tl, vi, vl = load_train_csv_dataset(
         train_dataset_uri, validation_percent=validation_ratio,
         keypoint_keys=kpt_keys, dataset_path=dataset_path,

@@ -164,13 +164,20 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
          contrast: bool = False, sharpen: bool = False,
          val_tolerance: int = 3, min_epochs: int = 3,
          vis_batch: int = 0, resume: bool = False,
-         mixed_precision: bool = False, device_aug: bool = False,
+         mixed_precision="auto", device_aug: bool = False,
          debug_mode: bool = False, evaluate: bool = False,
          num_workers: int = 8, n_devices: Optional[int] = None,
          seed: int = 17):
     spec = load_network_spec(model_cfg, vanilla_anchor=vanilla_anchor)
     os.makedirs(output_path, exist_ok=True)
     os.makedirs("logs", exist_ok=True)
+
+    # mixed_precision="auto": bf16 compute (f32 master weights/BN/loss) on
+    # TPU, f32 elsewhere. Measured 1.76x train-step speedup on v5e
+    # (tools/bench_train.py, PERF.md Training); parity runs pass
+    # --no_mixed_precision to pin f32.
+    if mixed_precision == "auto":
+        mixed_precision = jax.default_backend() == "tpu"
 
     common = dict(dataset_path=dataset_path, width=spec.net.width,
                   height=spec.net.height, bw=spec.net.bw, ts=ts,

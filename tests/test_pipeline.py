@@ -127,6 +127,90 @@ def test_crop_capacity_overflow_drops_lowest_scores():
     assert not match[valid_scores.argsort()[0]]
 
 
+def _walk_jaxpr_eqns(jaxpr):
+    """Yield every eqn in a (closed)jaxpr, recursing into sub-jaxprs."""
+    for eqn in jaxpr.eqns:
+        yield eqn
+        for v in eqn.params.values():
+            sub = getattr(v, "jaxpr", None)
+            if sub is not None:
+                yield from _walk_jaxpr_eqns(sub)
+            if isinstance(v, (list, tuple)):
+                for vi in v:
+                    sub = getattr(vi, "jaxpr", None)
+                    if sub is not None:
+                        yield from _walk_jaxpr_eqns(sub)
+
+
+def test_bf16_pipeline_dtype_discipline():
+    """Regression precedent cf4ed24: an f32 leak in the bf16 serving graph
+    was caught by the driver bench, not the suite. Pin it here: the bf16
+    pipeline's jaxpr must contain NO f32 convolutions and no f32
+    high-rank contractions (the crop einsums) — the compute-heavy ops must
+    all ride bf16."""
+    from mit_driverless_cv_traininginfra_tpu.models.darknet import fold_bn
+
+    spec, yp, ys, rp, rs = _setup()
+    folded = fold_bn(yp, ys, spec)
+    rpf = rektnet.fold_bn(rp, rs)
+    to_c = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), t)
+    folded, rpf = to_c(folded), to_c(rpf)
+    frames = jnp.zeros((2, 64, 64, 3), jnp.bfloat16)
+
+    fn = lambda f: two_stage_pipeline(spec, folded, {}, rpf, {}, f,
+                                      conf_thresh=0.1, max_det=4,
+                                      crop_capacity=4)
+    jaxpr = jax.make_jaxpr(fn)(frames)
+    bad = []
+    for eqn in _walk_jaxpr_eqns(jaxpr.jaxpr):
+        name = eqn.primitive.name
+        in_dtypes = [getattr(v.aval, "dtype", None) for v in eqn.invars]
+        if name == "conv_general_dilated":
+            if any(d == jnp.float32 for d in in_dtypes):
+                bad.append((name, in_dtypes,
+                            [getattr(v.aval, "shape", ()) for v in eqn.invars]))
+        elif name == "dot_general":
+            shapes = [getattr(v.aval, "shape", ()) for v in eqn.invars]
+            # the crop einsums are >2-D contractions over the frame pixels;
+            # small f32 dots (soft-argmax grids, decode) are fine
+            if (all(len(s) >= 3 for s in shapes)
+                    and any(d == jnp.float32 for d in in_dtypes)):
+                bad.append((name, in_dtypes, shapes))
+    assert not bad, f"f32 leaked into the bf16 serving graph: {bad}"
+
+
+def test_bf16_keypoint_deviation_bounded():
+    """bf16 serving (frames + params) vs f32 on the crop→keypoint stage
+    with FIXED boxes (so detect-stage score noise can't reorder slots),
+    including far-coordinate boxes (> 256 px — the advisor-r2 bf16
+    precision regression). Keypoint deviation must stay within a few
+    bf16 ulps of the crop values, not pixels."""
+    rng = np.random.default_rng(11)
+    _, _, _, rp, rs = _setup()
+    rpf = rektnet.fold_bn(rp, rs)
+    frames = jnp.asarray(rng.uniform(0, 1, (1, 416, 416, 3)), jnp.float32)
+    boxes = jnp.asarray(
+        [[[300.0, 310.0, 390.0, 400.0], [20.0, 30.0, 90.0, 110.0]]])
+
+    from mit_driverless_cv_traininginfra_tpu.ops.image import (
+        roi_crop_bilinear,
+    )
+
+    def kpts(fr, params):
+        crops = roi_crop_bilinear(fr, boxes, 80, 80)
+        flat = crops.reshape(-1, 80, 80, 3)
+        return rektnet.apply_folded(params, flat)[1]
+
+    p32 = np.asarray(kpts(frames, rpf), np.float32)
+    to_c = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), t)
+    pbf = np.asarray(kpts(frames.astype(jnp.bfloat16), to_c(rpf)),
+                     np.float32)
+    dev = np.abs(pbf - p32).max()  # [0,1] crop coords; 80 px crop
+    assert dev < 0.02, f"bf16 keypoint deviation {dev} (= {dev*80:.2f} px)"
+
+
 def test_pipeline_bf16_params():
     """bf16 serving params + bf16 frames must run end-to-end: NMS emits f32
     boxes, and the crop must follow the FRAME dtype (regression: f32 boxes

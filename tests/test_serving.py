@@ -68,3 +68,52 @@ def test_server_capacity_adapts():
     srv(frames)
     assert srv.current_capacity == 8           # 2*ceil(7/2), ≤ B*K
     assert srv.current_capacity > first_cap
+
+
+def test_server_warmup_makes_serving_stall_free():
+    """VERDICT r2 #2: after warmup(), the serving path must never enter an
+    uncompiled (batch, capacity) bucket — policy wants outside the warmed
+    lattice are clamped to the nearest warmed bucket and counted."""
+    import jax.numpy as jnp
+
+    pol = AdaptiveCapacity(floor=2, quantum=2, window=4, margin=1.0,
+                           warmup_capacity=2, shrink_patience=1)
+    srv, frames = _server(policy=pol, observe_every=1)
+    B = frames.shape[0]
+    secs = srv.warmup([B], capacities=[2, 4, 8], frame_dtype=jnp.float32)
+    assert secs > 0 and srv.warmup_seconds == secs
+    assert {(B, 2), (B, 4), (B, 8)} <= srv.warmed
+
+    out = srv(frames)
+    assert out.boxes.shape == (B, srv.max_det, 4)
+    # drive the policy to want a bucket OUTSIDE the warmed lattice (want=6)
+    for _ in range(4):
+        pol.observe(5)  # 2*ceil(5/2) = 6 — not warmed
+    srv(frames)
+    assert srv.current_capacity == 8      # clamped up to the warmed bucket
+    assert srv.bucket_clamps >= 1
+    # want above every warmed bucket: clamps DOWN to the largest warmed one
+    for _ in range(4):
+        pol.observe(40)
+    srv(frames)
+    assert srv.current_capacity == 8
+    # nothing on the serving path ever hit an unseen bucket
+    assert srv.compiles == 0
+    st = srv.stats()
+    assert st["compiles"] == 0 and st["calls"] == 3
+    assert st["bucket_clamps"] == srv.bucket_clamps
+
+
+def test_server_counts_compiles_without_warmup():
+    pol = AdaptiveCapacity(floor=2, quantum=2, window=4, margin=1.0,
+                           warmup_capacity=2, shrink_patience=1)
+    srv, frames = _server(policy=pol, observe_every=1)
+    srv(frames)
+    assert srv.compiles == 1           # first bucket, no warmup
+    for _ in range(6):
+        srv(frames)
+    # compiles counts exactly the distinct buckets entered, nothing more
+    assert srv.compiles == len(srv.seen)
+    before = srv.compiles
+    srv(frames)                        # steady state: same bucket, no compile
+    assert srv.compiles == before
