@@ -249,6 +249,15 @@ def main():
         spec, folded, packed, frames32, max_det)
 
     use_int8 = on_tpu and "--bf16" not in sys.argv
+    # windowed-DMA Pallas crop (ops/pallas_crop.py): bit-exact in-contract,
+    # measured 1.3-1.55x vs the indexed crop standalone (r3). Default ON on
+    # TPU; --no-crop-kernel reverts to the XLA indexed crop.
+    from mit_driverless_cv_traininginfra_tpu.ops.pallas_crop import (
+        crop_kernel_applicable,
+    )
+
+    use_crop_kernel = (on_tpu and "--no-crop-kernel" not in sys.argv
+                       and crop_kernel_applicable(416, 416, 3, 80, 80))
     crop_cap = [None]  # set after the dense warmup measures detection load
     if use_int8:
         # int8 PTQ serving config (the reference's own deployment target is
@@ -280,6 +289,7 @@ def main():
                 spec, yolo_q, stem_q, rekt_q, f,
                 conf_thresh=conf_thresh, nms_thresh=0.25, max_det=max_det,
                 crop_capacity=crop_cap[0], entry_q=entry_q,
+                crop_kernel=use_crop_kernel and crop_cap[0] is not None,
             )
     else:
         def run(f):
@@ -287,6 +297,7 @@ def main():
                 spec, folded_c, {}, rp_c, rs, f,
                 conf_thresh=conf_thresh, nms_thresh=0.25, max_det=max_det,
                 packed_stem=packed_c, crop_capacity=crop_cap[0],
+                crop_kernel=use_crop_kernel and crop_cap[0] is not None,
             )
 
     # dense warmup: compile + measure the actual detection load
@@ -342,6 +353,7 @@ def main():
         "max_det": max_det,
         "crop_capacity": crop_cap[0],
         "cap_margin": cap_margin,
+        "crop_kernel": use_crop_kernel,
     }
 
     if on_tpu:

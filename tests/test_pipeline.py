@@ -211,6 +211,42 @@ def test_bf16_keypoint_deviation_bounded():
     assert dev < 0.02, f"bf16 keypoint deviation {dev} (= {dev*80:.2f} px)"
 
 
+def test_pipeline_crop_kernel_matches_indexed():
+    """crop_kernel=True (windowed-DMA Pallas crop, interpreted on CPU)
+    must reproduce the XLA indexed-crop pipeline output exactly for
+    in-contract boxes."""
+    spec, yp, ys, rp, rs = _setup()
+    # 416² frames: the kernel needs H ≥ its window
+    frames = jnp.asarray(
+        np.random.default_rng(8).uniform(0, 1, (2, 416, 416, 3)),
+        jnp.float32)
+    # upscale the tiny 64-net? No — use a spec-free check: drive
+    # _crops_and_keypoints directly with synthetic boxes/scores.
+    from mit_driverless_cv_traininginfra_tpu.infer.pipeline import (
+        _crops_and_keypoints,
+    )
+
+    rpf = rektnet.fold_bn(rp, rs)
+    kpt = lambda c: rektnet.apply_folded(rpf, c)[1]
+    rng = np.random.default_rng(9)
+    B, K = 2, 4
+    boxes = np.zeros((B, K, 4), np.float32)
+    boxes[..., 0] = rng.uniform(0, 300, (B, K))
+    boxes[..., 1] = rng.uniform(0, 300, (B, K))
+    boxes[..., 2] = boxes[..., 0] + rng.uniform(20, 110, (B, K))
+    boxes[..., 3] = boxes[..., 1] + rng.uniform(20, 110, (B, K))
+    boxes = jnp.asarray(np.clip(boxes, 0, 416))
+    scores = jnp.asarray(rng.uniform(0.1, 1, (B, K)), jnp.float32)
+    mask = jnp.ones((B, K), bool)
+
+    ref = _crops_and_keypoints(kpt, frames, boxes, scores, mask, 80, 6,
+                               crop_kernel=False)
+    got = _crops_and_keypoints(kpt, frames, boxes, scores, mask, 80, 6,
+                               crop_kernel=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_pipeline_bf16_params():
     """bf16 serving params + bf16 frames must run end-to-end: NMS emits f32
     boxes, and the crop must follow the FRAME dtype (regression: f32 boxes
