@@ -9,3 +9,6 @@ from mit_driverless_cv_traininginfra_tpu.infer.pipeline import (  # noqa: F401
 from mit_driverless_cv_traininginfra_tpu.infer.serving import (  # noqa: F401
     TwoStageServer,
 )
+from mit_driverless_cv_traininginfra_tpu.infer.microbatch import (  # noqa: F401
+    MicroBatcher,
+)

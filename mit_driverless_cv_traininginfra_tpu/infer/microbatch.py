@@ -1,0 +1,178 @@
+"""Micro-batching request aggregator for the serving frontend.
+
+The deployment-latency study (PERF.md, tools/bench_latency.py) showed the
+B=1 frame pays ~3.8 ms of fixed MXU under-utilisation while the marginal
+frame costs ~0.36 ms — batching the vehicle's camera streams (B=2) halves
+per-frame device time for ~0.4 ms of queueing delay. ``MicroBatcher`` is
+the host-side piece that realises that: concurrent ``submit(frame)``
+calls are aggregated into the smallest precompiled batch bucket, run as
+one device program, and the per-frame results are fanned back out.
+
+The reference has no serving runtime at all (its two stages are separate
+TensorRT engines chained by hand, README.md:59); this plus
+``TwoStageServer.warmup`` is the production front half the deployment
+needs.
+
+Design:
+- one collector thread; requests queue in; the collector waits up to
+  ``max_wait_ms`` after the first pending request for co-arrivals (camera
+  streams are near-synchronous, so the wait is normally ~0);
+- batch = smallest bucket ≥ pending (buckets must be precompiled —
+  pair with ``TwoStageServer.warmup(bucket_sizes, ...)``); the batch is
+  padded by repeating the first frame (padding rows are discarded);
+- results resolve per-request ``Future``s after a device fence, so a
+  completed future's arrays are immediately host-readable.
+
+Batching is result-transparent: every pipeline stage is per-sample except
+the batch-global crop capacity — run the batcher with per-bucket capacity
+≥ bucket·max_det (or accept the same lowest-score-drop semantics the
+batched server already has).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+
+class MicroBatcher:
+    """Aggregate concurrent single-frame requests into batched device calls.
+
+    Args:
+        runner: ``fn(frames (B, H, W, C)) -> PipelineOut`` — typically a
+            warmed :class:`~.serving.TwoStageServer`. Called only with
+            batch sizes from ``bucket_sizes``.
+        bucket_sizes: ascending precompiled batch buckets.
+        max_wait_ms: co-arrival window after the first pending request.
+        fence: optional ``fn(out) -> None`` forcing device completion
+            before futures resolve (through the axon tunnel a host-read
+            fence is the only reliable barrier; default reads one scalar).
+    """
+
+    def __init__(self, runner: Callable, bucket_sizes: Sequence[int] = (1, 2, 4, 8),
+                 max_wait_ms: float = 2.0, fence: Optional[Callable] = None):
+        self.runner = runner
+        self.buckets = sorted(bucket_sizes)
+        self.max_wait_s = max_wait_ms / 1000.0
+        self.fence = fence or (lambda out: float(np.asarray(out.scores).sum()))
+        self._q: queue.Queue = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        # stats
+        self.batches = 0
+        self.frames = 0
+        self.padded_frames = 0
+        self.batch_sizes: list[int] = []
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self) -> "MicroBatcher":
+        if self._thread is not None:
+            return self
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._thread is None:
+            return
+        self._stop.set()
+        self._q.put(None)  # wake the collector
+        self._thread.join()
+        self._thread = None
+        # drain: fail any stragglers rather than hang their futures
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[1].set_exception(RuntimeError("MicroBatcher stopped"))
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # -- client API ---------------------------------------------------------
+
+    def submit(self, frame) -> Future:
+        """Enqueue one (H, W, C) frame; the Future resolves to a dict with
+        per-frame ``boxes``/``scores``/``mask``/``keypoints`` numpy rows."""
+        if self._thread is None:
+            raise RuntimeError("MicroBatcher not started")
+        fut: Future = Future()
+        self._q.put((np.asarray(frame), fut))
+        return fut
+
+    # -- collector ----------------------------------------------------------
+
+    def _collect(self):
+        """Block for the first request, then gather co-arrivals up to the
+        largest bucket or the wait window."""
+        first = self._q.get()
+        if first is None:
+            return None
+        pending = [first]
+        deadline = time.perf_counter() + self.max_wait_s
+        max_b = self.buckets[-1]
+        while len(pending) < max_b:
+            budget = deadline - time.perf_counter()
+            if budget <= 0:
+                break
+            try:
+                item = self._q.get(timeout=budget)
+            except queue.Empty:
+                break
+            if item is None:
+                break
+            pending.append(item)
+        return pending
+
+    def _loop(self):
+        while not self._stop.is_set():
+            pending = self._collect()
+            if not pending:
+                continue
+            frames = [p[0] for p in pending]
+            futs = [p[1] for p in pending]
+            n = len(frames)
+            bucket = next((b for b in self.buckets if b >= n),
+                          self.buckets[-1])
+            pad = bucket - n
+            batch = np.stack(frames + [frames[0]] * pad)
+            try:
+                out = self.runner(batch)
+                self.fence(out)
+            except Exception as e:  # noqa: BLE001 — fail the callers
+                for f in futs:
+                    f.set_exception(e)
+                continue
+            self.batches += 1
+            self.frames += n
+            self.padded_frames += pad
+            self.batch_sizes.append(bucket)
+            boxes = np.asarray(out.boxes)
+            scores = np.asarray(out.scores)
+            mask = np.asarray(out.mask)
+            kpts = np.asarray(out.keypoints)
+            for i, f in enumerate(futs):
+                f.set_result({"boxes": boxes[i], "scores": scores[i],
+                              "mask": mask[i], "keypoints": kpts[i]})
+
+    def stats(self) -> dict:
+        sizes = self.batch_sizes
+        return {
+            "batches": self.batches,
+            "frames": self.frames,
+            "padded_frames": self.padded_frames,
+            "mean_batch": (float(np.mean(sizes)) if sizes else None),
+            "bucket_histogram": {b: sizes.count(b) for b in self.buckets},
+        }

@@ -1,0 +1,170 @@
+"""Flagship-scale convergence demonstration: train the FULL YOLOv3-416
+graph on synthetic cone scenes on one chip and report mAP at the
+reference operating point, with wall-clock.
+
+The CPU suite certifies convergence + int8 deltas on the tiny fixture
+graph (tests/test_quantize_accuracy.py); this tool is the full-size
+counterpart on real hardware: Darknet-53 + FPN at 416², bf16 mixed
+precision (the r3 training default), device-resident sample pool (the
+1-core host cannot feed the chip — PERF.md "Host input pipeline"),
+hold-then-cosine schedule. Reports mAP/R/P at conf 0.8 / NMS 0.25 /
+IoU 0.5 (validate.py:61-182 semantics) for f32-serving and int8-PTQ
+weights, plus imgs/sec and total wall-clock.
+
+Usage: python tools/train_to_map.py [--steps 3000] [--batch 32]
+Prints one JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:
+    pass
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--hold", type=float, default=0.67)
+    ap.add_argument("--pool", type=int, default=128)
+    ap.add_argument("--eval-n", type=int, default=64)
+    ap.add_argument("--size", type=int, default=416)
+    args = ap.parse_args()
+
+    from mit_driverless_cv_traininginfra_tpu.config.flagship import (
+        flagship_spec,
+    )
+    from mit_driverless_cv_traininginfra_tpu.data.synthetic import yolo_batch
+    from mit_driverless_cv_traininginfra_tpu.models.darknet import (
+        detections,
+        fold_bn,
+        init_params,
+    )
+    from mit_driverless_cv_traininginfra_tpu.models.quantize import (
+        calibrate,
+        detections_int8,
+        quantize_params,
+    )
+    from mit_driverless_cv_traininginfra_tpu.ops.metrics import (
+        evaluate_image_batch,
+        summarize,
+    )
+    from mit_driverless_cv_traininginfra_tpu.train.optim import make_optimizer
+    from mit_driverless_cv_traininginfra_tpu.train.steps import (
+        init_train_state,
+        yolo_train_step,
+    )
+
+    scenes = dict(max_cones=8, min_h=18, max_h=120, max_overlap=0.1)
+    spec = flagship_spec(args.size)
+    rng = np.random.default_rng(0)
+
+    t0 = time.perf_counter()
+    pool_i, pool_t = yolo_batch(rng, args.pool, size=args.size, **scenes)
+    pool_i = jnp.asarray(pool_i, jnp.float32)   # device-resident pool
+    pool_t = jnp.asarray(pool_t)
+    t_render = time.perf_counter() - t0
+
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    hold = int(args.steps * args.hold)
+    warm = min(200, hold // 2)
+    # warmup -> hold -> cosine + global-norm clip: the 62M-param graph from
+    # scratch NaNs without both at B=32 (measured; the noobj-25 BCE spikes
+    # early). bench.py's B=8 recipe needs neither.
+    lr_fn = optax.join_schedules(
+        [optax.linear_schedule(0.0, args.lr, warm),
+         optax.constant_schedule(args.lr),
+         optax.cosine_decay_schedule(args.lr, args.steps - hold)],
+        [warm, hold])
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(lr_fn))
+    ts = init_train_state(params, state, tx)
+
+    t0 = time.perf_counter()
+    loss = None
+    for step in range(args.steps):
+        idx = rng.integers(0, args.pool, args.batch)
+        ts, loss, _ = yolo_train_step(spec, tx, ts, pool_i[idx], pool_t[idx],
+                                      compute_dtype="bfloat16")
+        if step % 250 == 0:
+            lv = float(loss)
+            print(f"step {step}: loss {lv:.3f} "
+                  f"({time.perf_counter()-t0:.0f}s)", file=sys.stderr)
+            if not np.isfinite(lv):
+                print("training diverged (NaN) — aborting", file=sys.stderr)
+                return 1
+    final_loss = float(loss)  # fences the chain
+    t_train = time.perf_counter() - t0
+
+    # held-out eval at the reference operating point (chunked: a B=64
+    # f32 eval forward at 416² on top of the training state OOMs the chip)
+    folded = fold_bn(ts.params, ts.model_state, spec)
+    cal = jnp.asarray(np.asarray(pool_i[:8]))
+    amax = calibrate(spec, folded, cal)
+    q = quantize_params(spec, folded, amax)
+    del pool_i, pool_t, ts  # free HBM before the eval forwards
+
+    ev_i, ev_t = yolo_batch(np.random.default_rng(999), args.eval_n,
+                            size=args.size, **scenes)
+    CH = 16
+    evs32, evs8 = [], []
+    for c0 in range(0, args.eval_n, CH):
+        ci = jnp.asarray(ev_i[c0:c0 + CH])
+        ct = jnp.asarray(ev_t[c0:c0 + CH])
+        dets = detections(spec, folded, {}, ci, with_classes=False)
+        evs32.append(evaluate_image_batch(
+            dets, ct, args.size, args.size, conf_thresh=0.8,
+            nms_thresh=0.25, iou_thresh=0.5, top_k=32))
+        dets8 = detections_int8(spec, q, ci, with_classes=False)
+        evs8.append(evaluate_image_batch(
+            dets8, ct, args.size, args.size, conf_thresh=0.8,
+            nms_thresh=0.25, iou_thresh=0.5, top_k=32))
+
+    def _cat(evs):
+        import numpy as _np
+        from mit_driverless_cv_traininginfra_tpu.ops.metrics import ImageEval
+        return ImageEval(*[_np.concatenate([_np.asarray(getattr(e, f))
+                                            for e in evs])
+                           for f in ImageEval._fields])
+
+    ev32, ev8 = _cat(evs32), _cat(evs8)
+    map32, r32, p32 = summarize(ev32)
+    map8, r8, p8 = summarize(ev8)
+
+    print(json.dumps({
+        "metric": "flagship_train_to_map_416",
+        "steps": args.steps, "batch": args.batch,
+        "imgs_seen": args.steps * args.batch,
+        "final_loss": round(final_loss, 3),
+        "train_s": round(t_train, 1),
+        "render_s": round(t_render, 1),
+        "imgs_per_sec": round(args.steps * args.batch / t_train, 1),
+        "eval_n": args.eval_n,
+        "map_f32_conf08": round(map32, 4),
+        "recall_f32": round(r32, 4), "precision_f32": round(p32, 4),
+        "map_int8_conf08": round(map8, 4),
+        "int8_map_delta": round(map32 - map8, 4),
+        "valid_images": int(np.asarray(ev32.valid).sum()),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
