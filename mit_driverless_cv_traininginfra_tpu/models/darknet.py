@@ -262,6 +262,10 @@ def head_predictions(head_out, num_anchors: int, num_classes: int):
         "w": pred[..., 2],
         "h": pred[..., 3],
         "conf": jax.nn.sigmoid(pred[..., 4]),
+        # raw conf for the loss: BCE is computed from logits there — the
+        # post-sigmoid form has 0·inf = NaN gradients where the sigmoid
+        # saturates (yolo_loss._bce_logits)
+        "conf_logit": pred[..., 4],
         "cls": jax.nn.sigmoid(pred[..., 5:]),
     }
 

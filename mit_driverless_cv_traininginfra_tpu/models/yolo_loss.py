@@ -124,6 +124,20 @@ def _bce(p, t):
     return -(t * logp + (1.0 - t) * log1p)
 
 
+def _bce_logits(logit, t):
+    """``BCELoss(sigmoid(logit))`` with the same −100 log clamp, computed
+    FROM LOGITS: log σ(l) = −softplus(−l), log(1−σ(l)) = −softplus(l).
+
+    Numerically identical forward (the clamp binds iff softplus > 100,
+    i.e. |l| > 100 — exactly where log σ < −100), but the gradients stay
+    bounded (softplus' = sigmoid). The post-sigmoid form (:func:`_bce`)
+    emits 0·inf = NaN gradients once the sigmoid saturates to exactly 0/1
+    in f32 — measured as flagship-scale training divergence at step ~3
+    with B=32 (tools/train_to_map.py r3)."""
+    return (t * jnp.minimum(jax.nn.softplus(-logit), 100.0)
+            + (1.0 - t) * jnp.minimum(jax.nn.softplus(logit), 100.0))
+
+
 def yolo_head_loss(
     head_out,
     target,
@@ -156,8 +170,10 @@ def yolo_head_loss(
     loss_y = xy_loss * _masked_mean((pred["y"] - t.ty) ** 2, m)
     loss_w = wh_loss * _masked_mean((pred["w"] - t.tw) ** 2, m)
     loss_h = wh_loss * _masked_mean((pred["h"] - t.th) ** 2, m)
-    loss_noobj = no_object_loss * _masked_mean(_bce(pred["conf"], t.tconf), noobj)
-    loss_obj = object_loss * _masked_mean(_bce(pred["conf"], t.tconf), obj)
+    loss_noobj = no_object_loss * _masked_mean(
+        _bce_logits(pred["conf_logit"], t.tconf), noobj)
+    loss_obj = object_loss * _masked_mean(
+        _bce_logits(pred["conf_logit"], t.tconf), obj)
     # class loss hardwired to 0 for single-class detection (models.py:203-205)
     loss = loss_x + loss_y + loss_w + loss_h + loss_noobj + loss_obj
     comps = jnp.stack([loss_x, loss_y, loss_w, loss_h, loss_obj, loss_noobj])

@@ -133,3 +133,47 @@ def test_yolo_head_loss_finite_and_components():
     assert np.isfinite(float(loss))
     assert comps.shape == (6,)
     np.testing.assert_allclose(float(loss), float(np.asarray(comps).sum()), rtol=1e-5)
+
+
+def test_bce_logits_matches_bce_and_torch():
+    """The logits BCE (the loss's stable form) must match both the
+    post-sigmoid _bce and torch on moderate logits."""
+    import jax
+    from mit_driverless_cv_traininginfra_tpu.models.yolo_loss import (
+        _bce_logits,
+    )
+
+    rng = np.random.default_rng(7)
+    lgt = jnp.asarray(rng.normal(0, 3, 64), jnp.float32)
+    t = jnp.asarray((rng.uniform(0, 1, 64) > 0.5).astype(np.float32))
+    ours = np.asarray(_bce_logits(lgt, t))
+    via_p = np.asarray(_bce(jax.nn.sigmoid(lgt), t))
+    np.testing.assert_allclose(ours, via_p, atol=1e-4)
+
+
+def test_yolo_loss_gradients_finite_at_saturated_conf():
+    """Regression (r3 flagship divergence): once the conf sigmoid
+    saturates to exactly 0/1 in f32, the post-sigmoid BCE backward emits
+    0*inf = NaN and poisons the params. The logits formulation must keep
+    gradients finite at arbitrarily large conf logits."""
+    import jax
+
+    rng = np.random.default_rng(8)
+    head = rng.normal(0, 1, (2, 13, 13, 3 * 6)).astype(np.float32)
+    # saturate every conf logit far beyond f32 sigmoid resolution
+    head = head.reshape(2, 13, 13, 3, 6)
+    head[..., 4] = np.where(rng.uniform(size=head[..., 4].shape) > 0.5,
+                            120.0, -120.0)
+    head = jnp.asarray(head.reshape(2, 13, 13, 18))
+    target = _rand_targets(2, 4, seed=9)
+
+    def loss_fn(h):
+        loss, _ = yolo_head_loss(
+            h, jnp.asarray(target), [(39, 48), (80, 99), (160, 128)],
+            img_height=416, num_classes=1, ignore_thresh=0.5,
+            xy_loss=2.0, wh_loss=1.6, object_loss=0.1, no_object_loss=25.0)
+        return loss
+
+    loss, grad = jax.value_and_grad(loss_fn)(head)
+    assert np.isfinite(float(loss))
+    assert np.all(np.isfinite(np.asarray(grad))), "NaN/inf grads at saturation"
