@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     # tools/bench_train.py), f32 elsewhere; --no_mixed_precision pins f32
     boolarg("mixed_precision", None, "bf16 compute with f32 master weights")
     boolarg("device_aug", False, "run augmentation on-device inside the train step")
+    boolarg("preload_device", False,
+            "train from a device-resident sample pool (host-bound machines)")
     boolarg("augment_affine", False, "enable affine augmentation")
     boolarg("augment_hsv", False, "enable HSV jitter")
     boolarg("lr_flip", False, "enable left-right flips")

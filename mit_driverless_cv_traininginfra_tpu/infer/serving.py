@@ -58,10 +58,26 @@ class TwoStageServer:
                  nms_thresh: float = 0.25, max_det: int = 16,
                  crop_size: int = 80,
                  policy: Optional[AdaptiveCapacity] = None,
-                 observe_every: int = 8):
+                 observe_every: int = 8,
+                 crop_kernel: Optional[bool] = None):
         if (yolo_q is None) == (yolo_params is None):
             raise ValueError("pass exactly one of yolo_q (int8) or "
                              "yolo_params (bf16/f32 folded)")
+        if crop_kernel is None:
+            # windowed-DMA Pallas crop (ops/pallas_crop.py): bit-exact and
+            # 1.3-1.55x faster than the XLA indexed crop on v5e (r3);
+            # auto-on for TPU when the frame geometry admits the window
+            import jax
+
+            from mit_driverless_cv_traininginfra_tpu.ops.pallas_crop import (
+                crop_kernel_applicable,
+            )
+
+            crop_kernel = (jax.default_backend() == "tpu"
+                           and crop_kernel_applicable(
+                               spec.net.height, spec.net.width, 3,
+                               crop_size, crop_size))
+        self.crop_kernel = bool(crop_kernel)
         self.spec = spec
         self.yolo_q, self.stem_q, self.rekt_q = yolo_q, stem_q, rekt_q
         self.entry_q = entry_q
@@ -145,13 +161,14 @@ class TwoStageServer:
                 self.spec, self.yolo_q, self.stem_q, self.rekt_q, frames,
                 conf_thresh=self.conf_thresh, nms_thresh=self.nms_thresh,
                 max_det=self.max_det, crop_size=self.crop_size,
-                crop_capacity=cap, entry_q=self.entry_q)
+                crop_capacity=cap, entry_q=self.entry_q,
+                crop_kernel=self.crop_kernel)
         return two_stage_pipeline(
             self.spec, self.yolo_params, {}, self.rekt_params, {},
             frames, conf_thresh=self.conf_thresh,
             nms_thresh=self.nms_thresh, max_det=self.max_det,
             crop_size=self.crop_size, packed_stem=self.packed_stem,
-            crop_capacity=cap)
+            crop_capacity=cap, crop_kernel=self.crop_kernel)
 
     def __call__(self, frames) -> PipelineOut:
         B = frames.shape[0]

@@ -165,6 +165,7 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
          val_tolerance: int = 3, min_epochs: int = 3,
          vis_batch: int = 0, resume: bool = False,
          mixed_precision="auto", device_aug: bool = False,
+         preload_device: bool = False,
          debug_mode: bool = False, evaluate: bool = False,
          num_workers: int = 8, n_devices: Optional[int] = None,
          seed: int = 17):
@@ -198,6 +199,21 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
     print("Num validate images: ", len(val_ds))
 
     mesh = make_mesh(n_devices) if (n_devices or jax.device_count() > 1) else None
+
+    if preload_device and not debug_mode:
+        # host-bound machines (measured: 1 core = 12 imgs/s vs the chip's
+        # 509 at B=128 bf16 — PERF.md "Host input pipeline"): materialise
+        # the dataset once and train from a device-resident pool. Pair
+        # with --device_aug so photometric augmentation stays fresh.
+        from mit_driverless_cv_traininginfra_tpu.data.device_pool import (
+            DevicePool,
+        )
+
+        pool = DevicePool.from_dataset(train_ds, mesh=mesh)
+        print(f"Device pool: {len(pool)} samples, "
+              f"{pool.nbytes / 1e9:.2f} GB in HBM")
+        train_loader = pool.loader(bs, shuffle=True, seed=seed)
+
     params, mstate = init_params(spec, jax.random.PRNGKey(seed))
     if weights_path:
         params, mstate, _ = load_darknet_weights(spec, params, mstate, weights_path)

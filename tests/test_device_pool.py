@@ -1,0 +1,87 @@
+"""DevicePool (data/device_pool.py): device-resident training input."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mit_driverless_cv_traininginfra_tpu.data.device_pool import DevicePool
+from mit_driverless_cv_traininginfra_tpu.parallel.mesh import make_mesh
+
+
+class _FakeDataset:
+    """Tiny map-style dataset with the (uri, image, labels) item shape."""
+
+    def __init__(self, n=10, size=32):
+        rng = np.random.default_rng(0)
+        self.images = rng.uniform(0, 1, (n, size, size, 3)).astype(np.float32)
+        self.labels = rng.uniform(0, 1, (n, 3, 5)).astype(np.float32)
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        return f"img{i}.png", self.images[i], self.labels[i]
+
+
+def test_pool_matches_dataset_items():
+    ds = _FakeDataset()
+    pool = DevicePool.from_dataset(ds)
+    assert len(pool) == len(ds)
+    np.testing.assert_array_equal(np.asarray(pool.images), ds.images)
+    np.testing.assert_array_equal(pool.labels, ds.labels)
+    imgs, labels = pool.sample([3, 1, 4])
+    np.testing.assert_array_equal(np.asarray(imgs), ds.images[[3, 1, 4]])
+    np.testing.assert_array_equal(labels, ds.labels[[3, 1, 4]])
+    assert isinstance(labels, np.ndarray)  # labels stay host-side
+
+
+def test_loader_epoch_without_replacement_then_with():
+    ds = _FakeDataset(n=8)
+    pool = DevicePool.from_dataset(ds)
+    loader = pool.loader(batch_size=4, seed=5, steps_per_epoch=3)
+    assert len(loader) == 3
+    batches = list(loader)
+    assert len(batches) == 3
+    # first two batches = one full shuffled pass (no repeats)
+    seen = [u for b in batches[:2] for u in b[0]]
+    assert sorted(seen) == sorted(f"img{i}.png" for i in range(8))
+    for uris, imgs, labels in batches:
+        assert imgs.shape == (4, 32, 32, 3)
+        assert labels.shape == (4, 3, 5)
+
+
+def test_budget_guard():
+    ds = _FakeDataset(n=10, size=32)
+    with pytest.raises(ValueError, match="budget"):
+        DevicePool.from_dataset(ds, budget_bytes=1000)
+
+
+def test_pool_feeds_sharded_train_step():
+    """Pool batches must drive the DP train step over the virtual mesh."""
+    import os
+
+    from mit_driverless_cv_traininginfra_tpu.config import load_network_spec
+    from mit_driverless_cv_traininginfra_tpu.models.darknet import init_params
+    from mit_driverless_cv_traininginfra_tpu.parallel.mesh import replicate
+    from mit_driverless_cv_traininginfra_tpu.train.optim import make_optimizer
+    from mit_driverless_cv_traininginfra_tpu.train.steps import (
+        init_train_state,
+        yolo_train_step,
+    )
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "tiny_test.cfg")
+    spec = load_network_spec(fixture, vanilla_anchor=True)
+    mesh = make_mesh(8)
+    ds = _FakeDataset(n=16, size=64)
+    pool = DevicePool.from_dataset(ds, mesh=mesh)
+    params, mstate = init_params(spec, jax.random.PRNGKey(0))
+    tx = make_optimizer("Adam", lr=1e-3)
+    ts = replicate(mesh, init_train_state(params, mstate, tx))
+
+    for uris, imgs, labels in pool.loader(batch_size=8, steps_per_epoch=2):
+        assert len(imgs.sharding.device_set) == 8  # batch-sharded gather
+        ts, loss, _ = yolo_train_step(spec, tx, ts, imgs,
+                                      jnp.asarray(labels))
+        assert np.isfinite(float(loss))
