@@ -37,6 +37,7 @@ import time
 from concurrent.futures import Future
 from typing import Callable, Optional, Sequence
 
+import jax
 import numpy as np
 
 
@@ -154,8 +155,6 @@ class MicroBatcher:
                 # np.asarray pulls cost a full RTT each on remote-attached
                 # devices (measured ~4×20 ms through the axon tunnel),
                 # and device_get doubles as the completion fence
-                import jax
-
                 boxes, scores, mask, kpts = jax.device_get(
                     (out.boxes, out.scores, out.mask, out.keypoints))
             except Exception as e:  # noqa: BLE001 — fail the callers

@@ -126,8 +126,11 @@ class TwoStageServer:
         for B in batch_sizes:
             caps = capacities
             if caps is None:
-                top = max(self.policy.capacity(B, self.max_det),
-                          self.policy.floor) + self.policy.quantum
+                # derive the lattice without calling policy.capacity()
+                # (which advances the shrink-hysteresis counters)
+                want = (self.policy._want() if self.policy.loads
+                        else self.policy.warmup_capacity)
+                top = max(want, self.policy.floor) + self.policy.quantum
                 caps = list(range(self.policy.floor, top + 1,
                                   self.policy.quantum))
             frames = jnp.zeros((B, size, size, 3), frame_dtype)

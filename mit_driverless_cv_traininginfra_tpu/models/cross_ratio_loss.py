@@ -27,8 +27,15 @@ _EPS = 1e-12  # torch F.normalize default eps
 
 def _normalize(v):
     """Row-normalise (B,2) with torch.nn.functional.normalize semantics:
-    x / max(||x||, eps)."""
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    x / max(||x||, eps).
+
+    The norm uses the double-where trick so the GRADIENT at an exactly
+    zero vector is 0 (torch's subgradient convention) instead of NaN —
+    ``jnp.linalg.norm``'s sqrt backward emits 0/0 there, which poisoned
+    large-batch RektNet training at init (all soft-argmax points collapse
+    to the heatmap centre, so keypoint differences can be exactly 0)."""
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    n = jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
     return v / jnp.maximum(n, _EPS)
 
 

@@ -83,3 +83,28 @@ def test_geo_matches_torch_tensordot_semantics():
                                  include_geo=True, geo_loss_gamma_horz=gh,
                                  geo_loss_gamma_vert=gv, cross_batch=True)
     assert float(geo) == pytest.approx(float(expected), rel=1e-3)
+
+
+def test_geo_loss_gradients_finite_at_coincident_points():
+    """Regression (r3): at init every soft-argmax point collapses to the
+    heatmap centre, so keypoint differences can be EXACTLY zero and the
+    geo-loss normalize must follow torch's zero-subgradient convention
+    instead of emitting 0/0 = NaN (which poisoned B=256 training)."""
+    import jax
+
+    B = 4
+    hm = jnp.full((B, 7, 8, 8), 0.25, jnp.float32)
+    tgt_hm = jnp.ones((B, 7, 8, 8), jnp.float32) / 64.0
+    tgt_pts = jnp.full((B, 7, 2), 0.5, jnp.float32)
+
+    def loss_fn(points):
+        loc, geo, total = cross_ratio_loss(
+            hm, points, tgt_hm, tgt_pts, loss_type="l1_softargmax",
+            include_geo=True, geo_loss_gamma_horz=0.05,
+            geo_loss_gamma_vert=0.05)
+        return total
+
+    pts = jnp.full((B, 7, 2), 0.5, jnp.float32)  # all points coincident
+    total, grad = jax.value_and_grad(loss_fn)(pts)
+    assert np.isfinite(float(total))
+    assert np.all(np.isfinite(np.asarray(grad))), "NaN grads at coincidence"

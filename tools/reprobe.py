@@ -30,7 +30,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# name -> (r2 status, what it gates)
+# name -> (last recorded status, what it gates). Baseline = round 3:
+# the r2→r3 toolchain update turned the windowed-DMA compile HANG into a
+# clean divisibility error, and the 8-aligned variant (pl.ds(r*8, WIN))
+# began compiling — which unblocked ops/pallas_crop.py. A future status
+# change prints CHANGED and re-evaluates the blocked designs below.
 EXPECT = {
     "strided_slice_sublane": ("FAIL", "in-kernel destriding (conv1 ingest)"),
     "lane_merge_reshape": ("FAIL", "in-kernel space-to-depth relayout"),
@@ -41,15 +45,13 @@ EXPECT = {
     "lane_subrange_write": ("PASS", "sanity: in-kernel im2col writes"),
     "rank3_minor_contraction": ("PASS", "sanity: supported idiom"),
     "dma_dynamic_image_index": ("PASS", "per-crop frame DMA (crop kernel)"),
-    "dma_dynamic_row_window": ("TIMEOUT", "windowed-DMA ROI crop (~3x crop cut)"),
-    "dma_dynamic_row_window_x8": ("TIMEOUT", "same, 8-aligned start (r*8 trick)"),
+    "dma_dynamic_row_window": ("FAIL", "raw dynamic-start window DMA"),
+    "dma_dynamic_row_window_x8": ("PASS", "windowed-DMA ROI crop (ADOPTED r3)"),
 }
 
+# designs still blocked on toolchain constraints (the windowed-DMA crop
+# graduated to ops/pallas_crop.py in r3 and is no longer listed)
 BLOCKED_DESIGNS = {
-    # either the raw dynamic start or the 8-aligned variant unblocks the
-    # crop kernel (window starts snap to the 8-row grid with halo)
-    "windowed-DMA ROI crop (tools/probe_crop_kernel.py RxB design)":
-        ["dma_dynamic_row_window_x8"],
     "in-kernel conv1 destride/relayout (Pallas conv1)":
         ["strided_slice_sublane", "lane_merge_reshape"],
     "entry kernel rank-3 band formulation (ops/pallas_entry use_kernel)":

@@ -12,7 +12,8 @@ IoU 0.5 (validate.py:61-182 semantics) for f32-serving and int8-PTQ
 weights, plus imgs/sec and total wall-clock.
 
 Usage: python tools/train_to_map.py [--steps 3000] [--batch 32]
-Prints one JSON line.
+       python tools/train_to_map.py --family rektnet [--steps 1500]
+Prints one JSON line (per family).
 """
 
 import argparse
@@ -47,7 +48,10 @@ def main():
     ap.add_argument("--pool", type=int, default=128)
     ap.add_argument("--eval-n", type=int, default=64)
     ap.add_argument("--size", type=int, default=416)
+    ap.add_argument("--family", default="yolo", choices=["yolo", "rektnet"])
     args = ap.parse_args()
+    if args.family == "rektnet":
+        return rektnet_main(args)
 
     from mit_driverless_cv_traininginfra_tpu.config.flagship import (
         flagship_spec,
@@ -162,6 +166,83 @@ def main():
         "map_int8_conf08": round(map8, 4),
         "int8_map_delta": round(map32 - map8, 4),
         "valid_images": int(np.asarray(ev32.valid).sum()),
+    }))
+    return 0
+
+
+def rektnet_main(args):
+    """RektNet counterpart: train on synthetic cone crops on chip, report
+    held-out keypoint-L2 (f32 and int8) with wall-clock."""
+    from mit_driverless_cv_traininginfra_tpu.data.synthetic import (
+        rektnet_batch,
+    )
+    from mit_driverless_cv_traininginfra_tpu.models import rektnet
+    from mit_driverless_cv_traininginfra_tpu.models.quantize import (
+        apply_rektnet_int8,
+        calibrate_rektnet,
+        quantize_rektnet_params,
+    )
+    from mit_driverless_cv_traininginfra_tpu.train.steps import (
+        init_train_state,
+        rektnet_train_step,
+    )
+
+    steps = args.steps if args.steps != 3000 else 1500
+    batch = args.batch if args.batch != 32 else 256
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    pool_i, pool_p = rektnet_batch(rng, 2048)
+    pool_i, pool_p = jnp.asarray(pool_i), jnp.asarray(pool_p)
+    t_render = time.perf_counter() - t0
+
+    params, state = rektnet.init(jax.random.PRNGKey(1))
+    lr_fn = optax.join_schedules(
+        [optax.constant_schedule(3e-3),
+         optax.cosine_decay_schedule(3e-3, steps // 3)], [2 * steps // 3])
+    tx = optax.adam(lr_fn)
+    ts = init_train_state(params, state, tx)
+    dummy = jnp.zeros((1,), jnp.float32)
+
+    t0 = time.perf_counter()
+    total = None
+    for step in range(steps):
+        idx = rng.integers(0, pool_i.shape[0], batch)
+        ts, total, _, _ = rektnet_train_step(
+            tx, ts, pool_i[idx], dummy, pool_p[idx],
+            loss_type="l1_softargmax", include_geo=True,
+            geo_loss_gamma_horz=0.05, geo_loss_gamma_vert=0.05,
+            compute_dtype="bfloat16", synth_target_sigma=1.0)
+        if step % 250 == 0:
+            print(f"step {step}: loss {float(total):.4f} "
+                  f"({time.perf_counter()-t0:.0f}s)", file=sys.stderr)
+    final_loss = float(total)
+    t_train = time.perf_counter() - t0
+
+    ev_i, ev_p = rektnet_batch(np.random.default_rng(999), 256)
+    ev_i, ev_p = jnp.asarray(ev_i), np.asarray(ev_p)
+    folded = rektnet.fold_bn(ts.params, ts.model_state)
+    _, pts32 = rektnet.apply_folded(folded, ev_i)
+    l2_32 = float(np.linalg.norm(np.asarray(pts32, np.float32) - ev_p,
+                                 axis=-1).mean())
+    q = quantize_rektnet_params(
+        folded, calibrate_rektnet(folded, pool_i[:64]))
+    _, pts8 = apply_rektnet_int8(q, ev_i)
+    l2_8 = float(np.linalg.norm(np.asarray(pts8, np.float32) - ev_p,
+                                axis=-1).mean())
+
+    print(json.dumps({
+        "metric": "rektnet_train_to_l2_80",
+        "steps": steps, "batch": batch,
+        "imgs_seen": steps * batch,
+        "final_loss": round(final_loss, 4),
+        "train_s": round(t_train, 1),
+        "render_s": round(t_render, 1),
+        "imgs_per_sec": round(steps * batch / t_train, 1),
+        "eval_n": 256,
+        "kpt_l2_f32": round(l2_32, 5),
+        "kpt_l2_f32_px80": round(l2_32 * 80, 2),
+        "kpt_l2_int8": round(l2_8, 5),
+        "int8_l2_delta": round(l2_8 - l2_32, 5),
     }))
     return 0
 
