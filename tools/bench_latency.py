@@ -64,7 +64,8 @@ def main():
 
     max_det = 8
     dev = jax.devices()[0]
-    print(f"platform={dev.platform} max_det={max_det}")
+    use_kernel = "--no-crop-kernel" not in sys.argv
+    print(f"platform={dev.platform} max_det={max_det} crop_kernel={use_kernel}")
 
     for B in (1, 2, 4, 8):
         frames = jax.device_put(jnp.asarray(frames_np[:B], jnp.bfloat16),
@@ -75,7 +76,7 @@ def main():
             return two_stage_pipeline_int8(
                 spec, yolo_q, stem_q, rekt_q, f,
                 conf_thresh=0.8, nms_thresh=0.25, max_det=max_det,
-                crop_capacity=cap, entry_q=entry_q)
+                crop_capacity=cap, entry_q=entry_q, crop_kernel=use_kernel)
 
         o = run()
         float(jnp.sum(o.keypoints))
