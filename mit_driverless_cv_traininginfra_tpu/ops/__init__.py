@@ -16,3 +16,13 @@ from mit_driverless_cv_traininginfra_tpu.ops.patches import (  # noqa: F401
     pre_tile_padding,
 )
 from mit_driverless_cv_traininginfra_tpu.ops.nms import nms, batched_nms  # noqa: F401
+from mit_driverless_cv_traininginfra_tpu.ops.image import (  # noqa: F401
+    letterbox,
+    resize_bilinear,
+    roi_crop_bilinear,
+    roi_crop_bilinear_indexed,
+)
+from mit_driverless_cv_traininginfra_tpu.ops.pallas_crop import (  # noqa: F401
+    crop_kernel_applicable,
+    roi_crop_windowed,
+)
