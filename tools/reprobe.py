@@ -62,6 +62,19 @@ BLOCKED_DESIGNS = {
 def _probe(name):
     """Run one probe in-process; raises on unsupported lowering."""
     import jax
+
+    # persistent compile cache: the remote compile service intermittently
+    # takes minutes even for tiny kernels, which reads as a spurious
+    # TIMEOUT. Cache keys include the compiler version, so a toolchain
+    # update still recompiles (and re-tests) every probe.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import numpy as np
     from jax.experimental import pallas as pl
@@ -210,6 +223,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--one", default=None)
     ap.add_argument("--timeout", type=int, default=180)
+    ap.add_argument("--retries", type=int, default=1,
+                    help="extra attempts for TIMEOUT probes — the remote "
+                         "compile service intermittently stalls for "
+                         "minutes on ANY kernel; retries hit the "
+                         "persistent compile cache")
     args = ap.parse_args()
 
     if args.one:
@@ -217,8 +235,7 @@ def main():
         print(f"{args.one}: PASS")
         return 0
 
-    results = {}
-    for name in EXPECT:
+    def attempt(name):
         try:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", name],
@@ -233,8 +250,17 @@ def main():
                                      "not supported", "failed"))]
                 detail = (informative[-1] if informative
                           else (lines or ["?"])[-1]).strip()[:110]
+            return status, detail
         except subprocess.TimeoutExpired:
-            status, detail = "TIMEOUT", f">{args.timeout}s (compile hang)"
+            return "TIMEOUT", f">{args.timeout}s (compile hang/stall)"
+
+    results = {}
+    for name in EXPECT:
+        status, detail = attempt(name)
+        for _ in range(args.retries):
+            if status != "TIMEOUT":
+                break
+            status, detail = attempt(name)
         results[name] = (status, detail)
 
     w = max(len(n) for n in EXPECT) + 2
