@@ -25,13 +25,11 @@ import jax
 # Persistent compilation cache: the fused pipeline is one large XLA program
 # and a cold compile through the TPU tunnel takes minutes; cache it on disk
 # so repeat runs (and the driver's bench invocation) start hot.
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp_cache"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-except Exception:
-    pass
+from mit_driverless_cv_traininginfra_tpu.utils.jaxcache import (
+    enable_compile_cache,
+)
+
+enable_compile_cache()
 
 import jax.numpy as jnp
 import numpy as np

@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     boolarg("device_aug", False, "run augmentation on-device inside the train step")
     boolarg("preload_device", False,
             "train from a device-resident sample pool (host-bound machines)")
+    parser.add_argument("--preload_num", type=int, default=None,
+                        help="cap the device pool to this many samples "
+                             "(default: whole dataset)")
+    parser.add_argument("--preload_budget_gb", type=float, default=6.0,
+                        help="HBM budget for the device pool; with bf16 "
+                             "mixed precision the pool is stored bf16 "
+                             "(half the bytes)")
     boolarg("augment_affine", False, "enable affine augmentation")
     boolarg("augment_hsv", False, "enable HSV jitter")
     boolarg("lr_flip", False, "enable left-right flips")

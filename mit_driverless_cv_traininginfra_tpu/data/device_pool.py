@@ -14,8 +14,11 @@ Tradeoffs (documented, not hidden):
   host-side randomness (patch choice, PIL affine) is drawn once. Pair
   with ``device_aug=True`` so photometric jitter + flips stay fresh every
   step inside the jitted train step (`train/steps.py`);
-- HBM cost is ``N·H·W·C·4`` bytes (f32 pool); the ``budget_bytes`` guard
+- HBM cost is ``N·H·W·C·itemsize`` bytes; the ``budget_bytes`` guard
   refuses pools that would crowd out the training step's working set.
+  ``dtype=jnp.bfloat16`` halves the pool (a bf16 train step casts its
+  images to bf16 anyway, so a bf16 pool feeds it losslessly); f32 stays
+  the default for parity runs.
 
 Replaces the reference's DataLoader worker pool
 (CVC-YOLOv3/train.py:124-141) on hosts where that pool cannot keep up.
@@ -40,8 +43,10 @@ class DevicePool:
     """
 
     def __init__(self, images: np.ndarray, labels: np.ndarray,
-                 uris: Optional[Sequence[str]] = None, mesh=None):
+                 uris: Optional[Sequence[str]] = None, mesh=None,
+                 dtype=jnp.float32):
         self.mesh = mesh
+        self.dtype = jnp.dtype(dtype)
         self.labels = np.asarray(labels, np.float32)
         self.uris = list(uris) if uris is not None else [""] * len(labels)
         if mesh is not None:
@@ -49,33 +54,37 @@ class DevicePool:
                 replicated,
             )
 
-            self.images = jax.device_put(jnp.asarray(images, jnp.float32),
+            self.images = jax.device_put(jnp.asarray(images, self.dtype),
                                          replicated(mesh))
         else:
-            self.images = jnp.asarray(images, jnp.float32)
+            self.images = jnp.asarray(images, self.dtype)
 
     def __len__(self) -> int:
         return self.images.shape[0]
 
     @property
     def nbytes(self) -> int:
-        return int(np.prod(self.images.shape)) * 4
+        return int(np.prod(self.images.shape)) * self.dtype.itemsize
 
     @classmethod
     def from_dataset(cls, dataset, num: Optional[int] = None, mesh=None,
-                     budget_bytes: float = 6e9) -> "DevicePool":
+                     budget_bytes: float = 6e9,
+                     dtype=jnp.float32) -> "DevicePool":
         """Materialise ``dataset[i]`` once per sample (one host pass) and
-        park the images on device. ``num`` caps the pool size."""
+        park the images on device. ``num`` caps the pool size;
+        ``budget_bytes`` is the HBM guard; ``dtype`` the on-device image
+        dtype (bf16 halves the footprint for bf16 training)."""
         n = len(dataset) if num is None else min(num, len(dataset))
         if n == 0:
             raise ValueError("empty dataset")
         uri0, img0, lab0 = dataset[0]
-        est = n * int(np.prod(np.asarray(img0).shape)) * 4
+        itemsize = jnp.dtype(dtype).itemsize
+        est = n * int(np.prod(np.asarray(img0).shape)) * itemsize
         if est > budget_bytes:
             raise ValueError(
                 f"device pool would need {est/1e9:.2f} GB "
-                f"(> budget {budget_bytes/1e9:.2f} GB); lower `num` or "
-                "raise budget_bytes")
+                f"(> budget {budget_bytes/1e9:.2f} GB); lower `num`, raise "
+                "budget_bytes, or use dtype=bfloat16")
         images = np.empty((n,) + np.asarray(img0).shape, np.float32)
         labels = np.empty((n,) + np.asarray(lab0).shape, np.float32)
         uris = []
@@ -85,7 +94,7 @@ class DevicePool:
             u, im, lb = dataset[i]
             images[i], labels[i] = im, lb
             uris.append(u)
-        return cls(images, labels, uris, mesh=mesh)
+        return cls(images, labels, uris, mesh=mesh, dtype=dtype)
 
     def sample(self, idx):
         """Device gather of a batch: (images_device, labels_host)."""

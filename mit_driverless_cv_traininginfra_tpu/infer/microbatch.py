@@ -20,8 +20,9 @@ Design:
 - batch = smallest bucket ≥ pending (buckets must be precompiled —
   pair with ``TwoStageServer.warmup(bucket_sizes, ...)``); the batch is
   padded by repeating the first frame (padding rows are discarded);
-- results resolve per-request ``Future``s after a device fence, so a
-  completed future's arrays are immediately host-readable.
+- results resolve per-request ``Future``s after ONE ``jax.device_get``
+  of all four outputs (the single-RTT fan-out; it doubles as the device
+  fence), so a completed future's arrays are immediately host-readable.
 
 Batching is result-transparent: every pipeline stage is per-sample except
 the batch-global crop capacity — run the batcher with per-bucket capacity
@@ -34,6 +35,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import Counter
 from concurrent.futures import Future
 from typing import Callable, Optional, Sequence
 
@@ -50,25 +52,23 @@ class MicroBatcher:
             batch sizes from ``bucket_sizes``.
         bucket_sizes: ascending precompiled batch buckets.
         max_wait_ms: co-arrival window after the first pending request.
-        fence: optional ``fn(out) -> None`` forcing device completion
-            before futures resolve (through the axon tunnel a host-read
-            fence is the only reliable barrier; default reads one scalar).
     """
 
     def __init__(self, runner: Callable, bucket_sizes: Sequence[int] = (1, 2, 4, 8),
-                 max_wait_ms: float = 2.0, fence: Optional[Callable] = None):
+                 max_wait_ms: float = 2.0):
         self.runner = runner
         self.buckets = sorted(bucket_sizes)
         self.max_wait_s = max_wait_ms / 1000.0
-        self.fence = fence or (lambda out: float(np.asarray(out.scores).sum()))
         self._q: queue.Queue = queue.Queue()
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        self._frame_spec: Optional[tuple] = None  # (shape, dtype) of frame 0
+        self._spec_lock = threading.Lock()
         # stats
         self.batches = 0
         self.frames = 0
         self.padded_frames = 0
-        self.batch_sizes: list[int] = []
+        self.batch_counts: Counter = Counter()
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -94,7 +94,8 @@ class MicroBatcher:
             except queue.Empty:
                 break
             if item is not None:
-                item[1].set_exception(RuntimeError("MicroBatcher stopped"))
+                self._resolve(item[1],
+                              exc=RuntimeError("MicroBatcher stopped"))
 
     def __enter__(self):
         return self.start()
@@ -106,11 +107,26 @@ class MicroBatcher:
 
     def submit(self, frame) -> Future:
         """Enqueue one (H, W, C) frame; the Future resolves to a dict with
-        per-frame ``boxes``/``scores``/``mask``/``keypoints`` numpy rows."""
+        per-frame ``boxes``/``scores``/``mask``/``keypoints`` numpy rows.
+
+        All frames must share one shape/dtype (the precompiled buckets key
+        on it); a mismatch raises here, in the caller, rather than inside
+        the collector thread where it would wedge every pending request.
+        """
         if self._thread is None:
             raise RuntimeError("MicroBatcher not started")
+        arr = np.asarray(frame)
+        spec = (arr.shape, arr.dtype)
+        with self._spec_lock:
+            if self._frame_spec is None:
+                self._frame_spec = spec
+        if spec != self._frame_spec:
+            raise ValueError(
+                f"frame {spec} does not match the batcher's first frame "
+                f"{self._frame_spec}; all submissions must share one "
+                f"shape/dtype")
         fut: Future = Future()
-        self._q.put((np.asarray(frame), fut))
+        self._q.put((arr, fut))
         return fut
 
     # -- collector ----------------------------------------------------------
@@ -137,19 +153,33 @@ class MicroBatcher:
             pending.append(item)
         return pending
 
+    @staticmethod
+    def _resolve(fut: Future, result=None, exc=None):
+        """Resolve one future without ever raising: a caller that timed out
+        and ``cancel()``-ed (these futures are never marked running, so
+        cancel always succeeds) must not kill the collector thread."""
+        try:
+            if exc is not None:
+                fut.set_exception(exc)
+            else:
+                fut.set_result(result)
+        except Exception:  # noqa: BLE001 — cancelled/already-resolved
+            pass
+
     def _loop(self):
         while not self._stop.is_set():
-            pending = self._collect()
-            if not pending:
-                continue
-            frames = [p[0] for p in pending]
-            futs = [p[1] for p in pending]
-            n = len(frames)
-            bucket = next((b for b in self.buckets if b >= n),
-                          self.buckets[-1])
-            pad = bucket - n
-            batch = np.stack(frames + [frames[0]] * pad)
+            futs = []
             try:
+                pending = self._collect()
+                if not pending:
+                    continue
+                frames = [p[0] for p in pending]
+                futs = [p[1] for p in pending]
+                n = len(frames)
+                bucket = next((b for b in self.buckets if b >= n),
+                              self.buckets[-1])
+                pad = bucket - n
+                batch = np.stack(frames + [frames[0]] * pad)
                 out = self.runner(batch)
                 # ONE device→host transfer for all four outputs: separate
                 # np.asarray pulls cost a full RTT each on remote-attached
@@ -157,24 +187,26 @@ class MicroBatcher:
                 # and device_get doubles as the completion fence
                 boxes, scores, mask, kpts = jax.device_get(
                     (out.boxes, out.scores, out.mask, out.keypoints))
-            except Exception as e:  # noqa: BLE001 — fail the callers
-                for f in futs:
-                    f.set_exception(e)
+            except Exception as e:  # noqa: BLE001 — fail the callers,
+                for f in futs:      # NEVER the collector thread itself
+                    self._resolve(f, exc=e)
                 continue
             self.batches += 1
             self.frames += n
             self.padded_frames += pad
-            self.batch_sizes.append(bucket)
+            self.batch_counts[bucket] += 1
             for i, f in enumerate(futs):
-                f.set_result({"boxes": boxes[i], "scores": scores[i],
-                              "mask": mask[i], "keypoints": kpts[i]})
+                self._resolve(f, {"boxes": boxes[i], "scores": scores[i],
+                                  "mask": mask[i], "keypoints": kpts[i]})
 
     def stats(self) -> dict:
-        sizes = self.batch_sizes
+        counts = self.batch_counts
+        total = sum(counts.values())
+        weighted = sum(b * c for b, c in counts.items())
         return {
             "batches": self.batches,
             "frames": self.frames,
             "padded_frames": self.padded_frames,
-            "mean_batch": (float(np.mean(sizes)) if sizes else None),
-            "bucket_histogram": {b: sizes.count(b) for b in self.buckets},
+            "mean_batch": (weighted / total if total else None),
+            "bucket_histogram": {b: counts.get(b, 0) for b in self.buckets},
         }

@@ -97,6 +97,19 @@ class TwoStageServer:
         self.compiles = 0        # serving-path calls on an unseen bucket
         self.bucket_clamps = 0   # wants redirected to a warmed bucket
         self.warmup_seconds: float = 0.0
+        # windowed-crop contract watch: boxes larger than the kernel's
+        # window degrade to border-clipped crops (ops/pallas_crop.py).
+        # Sampled on the observation cadence (off the hot path).
+        self.oversize_boxes = 0
+        self.oversize_observed = 0   # boxes inspected for the rate
+        if self.crop_kernel:
+            from mit_driverless_cv_traininginfra_tpu.ops.pallas_crop import (
+                crop_kernel_box_limits,
+            )
+
+            self._box_limits = crop_kernel_box_limits(3)
+        else:
+            self._box_limits = None
 
     @classmethod
     def from_params(cls, spec, yolo_q, stem_q, rekt_q, **kw):
@@ -114,14 +127,26 @@ class TwoStageServer:
         one quantum above the policy's current choice (covering the
         immediate grow/shrink moves); pass the lattice explicitly for full
         control. ``frame_dtype`` MUST match the dtype frames will be served
-        in (jit caches key on it; default bf16 for the int8 config, f32
-        otherwise). Returns wall seconds spent compiling (also recorded in
-        ``warmup_seconds``). Runs each bucket once on zero frames and
-        fences with a device→host read, so jit caches are hot."""
+        in (jit caches key on it; a mismatch makes warmup silently
+        ineffective — the first real call still compiles for minutes).
+        Default: bf16 for the int8 config, else the folded params' own
+        dtype — the repo's serving compositions feed frames in exactly
+        that dtype (bench.py). Returns wall seconds spent compiling (also
+        recorded in ``warmup_seconds``). Runs each bucket once on zero
+        frames and fences with a device→host read, so jit caches are
+        hot."""
         size = frame_size or self.spec.net.height
         if frame_dtype is None:
-            frame_dtype = (jnp.bfloat16 if self.yolo_q is not None
-                           else jnp.float32)
+            if self.yolo_q is not None:
+                frame_dtype = jnp.bfloat16
+            else:
+                import jax
+
+                leaves = jax.tree_util.tree_leaves(self.yolo_params)
+                frame_dtype = next(
+                    (l.dtype for l in leaves
+                     if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)),
+                    jnp.float32)
         t0 = time.perf_counter()
         for B in batch_sizes:
             caps = capacities
@@ -186,7 +211,23 @@ class TwoStageServer:
         self.calls += 1
         if self.calls % self.observe_every == 0 or len(self.policy.loads) == 0:
             self.policy.observe_mask(out.mask, cap)
+            if self._box_limits is not None:
+                self._observe_oversize(out)
         return out
+
+    def _observe_oversize(self, out: PipelineOut) -> None:
+        """Count valid detections whose box exceeds the windowed crop
+        kernel's exact-sampling contract (their crops are border-clipped,
+        so keypoints may be degraded). Shares the policy-observation
+        cadence: one extra device→host pull per `observe_every` batches."""
+        max_h, max_w = self._box_limits
+        boxes = np.asarray(out.boxes, np.float32)
+        mask = np.asarray(out.mask, bool)
+        h = boxes[..., 3] - boxes[..., 1]
+        w = boxes[..., 2] - boxes[..., 0]
+        over = ((h > max_h) | (w > max_w)) & mask
+        self.oversize_boxes += int(over.sum())
+        self.oversize_observed += int(mask.sum())
 
     def stats(self) -> dict:
         """Serving counters for observability dashboards."""
@@ -203,4 +244,10 @@ class TwoStageServer:
             "current_capacity": self.current_capacity,
             "mean_load": (float(np.mean(self.policy.loads))
                           if self.policy.loads else None),
+            # windowed-crop contract violations among sampled detections
+            # (None when the XLA crop serves — it has no size contract)
+            "oversize_boxes": (self.oversize_boxes if self.crop_kernel
+                               else None),
+            "oversize_observed": (self.oversize_observed if self.crop_kernel
+                                  else None),
         }

@@ -165,8 +165,11 @@ def roi_crop_bilinear_gather(frames, boxes, out_h: int = 80, out_w: int = 80):
     y0i = jnp.floor(sy).astype(jnp.int32)
     x1i = jnp.minimum(x0i + 1, W - 1)
     y1i = jnp.minimum(y0i + 1, H - 1)
-    fx = (sx - x0i)[..., None]  # (B, K, ow, 1)
-    fy = (sy - y0i)[..., None]  # (B, K, oh, 1)
+    # like the matmul variants: coords stay f32, but the [0,1) lerp
+    # weights are carried in the frame dtype so bf16 frames yield bf16
+    # crops (not a silent f32 promotion)
+    fx = (sx - x0i)[..., None].astype(frames.dtype)  # (B, K, ow, 1)
+    fy = (sy - y0i)[..., None].astype(frames.dtype)  # (B, K, oh, 1)
 
     rows0 = jax.vmap(lambda fr, yi: fr[yi])(frames, y0i)  # (B, K, oh, W, C)
     rows1 = jax.vmap(lambda fr, yi: fr[yi])(frames, y1i)

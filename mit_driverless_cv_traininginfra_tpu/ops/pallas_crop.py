@@ -58,6 +58,15 @@ def crop_kernel_applicable(H: int, W: int, C: int, out_h: int,
             and out_h <= WROWS and C in (1, 3, 4))
 
 
+def crop_kernel_box_limits(C: int = 3) -> tuple[float, float]:
+    """(max_h, max_w) in pixels a box may span and still be sampled
+    exactly by the windowed kernel (240, 211 at C=3). Larger boxes
+    degrade to border-clipped crops — data-dependent, so callers that
+    adopt the kernel should count violations at runtime
+    (``TwoStageServer.stats()['oversize_boxes']`` does)."""
+    return float(WROWS - 16), float((WLANES - 128) / C - 2)
+
+
 def _make_kernel(H, W, C, out_h, out_w, dtype):
     wcols = WLANES // C  # window width in pixel columns
 

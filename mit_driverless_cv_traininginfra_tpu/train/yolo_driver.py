@@ -20,6 +20,7 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mit_driverless_cv_traininginfra_tpu.config.darknet_cfg import NetworkSpec, load_network_spec
@@ -165,7 +166,8 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
          val_tolerance: int = 3, min_epochs: int = 3,
          vis_batch: int = 0, resume: bool = False,
          mixed_precision="auto", device_aug: bool = False,
-         preload_device: bool = False,
+         preload_device: bool = False, preload_num: Optional[int] = None,
+         preload_budget_gb: float = 6.0,
          debug_mode: bool = False, evaluate: bool = False,
          num_workers: int = 8, n_devices: Optional[int] = None,
          seed: int = 17):
@@ -209,7 +211,12 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
             DevicePool,
         )
 
-        pool = DevicePool.from_dataset(train_ds, mesh=mesh)
+        # bf16 pool when the step computes in bf16 (it casts images there
+        # anyway): halves HBM, doubling the images that fit the budget
+        pool = DevicePool.from_dataset(
+            train_ds, num=preload_num, mesh=mesh,
+            budget_bytes=preload_budget_gb * 1e9,
+            dtype=jnp.bfloat16 if mixed_precision else jnp.float32)
         print(f"Device pool: {len(pool)} samples, "
               f"{pool.nbytes / 1e9:.2f} GB in HBM")
         train_loader = pool.loader(bs, shuffle=True, seed=seed)

@@ -57,6 +57,27 @@ def test_budget_guard():
         DevicePool.from_dataset(ds, budget_bytes=1000)
 
 
+def test_bf16_pool_halves_bytes_and_feeds_bf16():
+    """dtype=bfloat16 halves the HBM footprint (the budget guard must
+    account it) and yields bf16 batches — exactly what a bf16 train step
+    casts its images to anyway."""
+    ds = _FakeDataset(n=8, size=32)
+    pool32 = DevicePool.from_dataset(ds)
+    pool16 = DevicePool.from_dataset(ds, dtype=jnp.bfloat16)
+    assert pool16.nbytes * 2 == pool32.nbytes
+    imgs, _ = pool16.sample([0, 1])
+    assert imgs.dtype == jnp.bfloat16
+    # quantisation error bounded by bf16 eps on [0,1]
+    err = np.abs(np.asarray(imgs, np.float32) - ds.images[[0, 1]]).max()
+    assert err < 4e-3, err
+    # a pool that busts the budget at f32 fits at bf16
+    budget = pool32.nbytes - 1
+    with pytest.raises(ValueError, match="budget"):
+        DevicePool.from_dataset(ds, budget_bytes=budget)
+    assert len(DevicePool.from_dataset(ds, budget_bytes=budget,
+                                       dtype=jnp.bfloat16)) == 8
+
+
 def test_pool_feeds_sharded_train_step():
     """Pool batches must drive the DP train step over the virtual mesh."""
     import os

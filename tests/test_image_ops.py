@@ -8,6 +8,7 @@ from mit_driverless_cv_traininginfra_tpu.ops.image import (
     pad_to,
     resize_bilinear,
     roi_crop_bilinear,
+    roi_crop_bilinear_gather,
     roi_crop_bilinear_indexed,
 )
 
@@ -87,6 +88,13 @@ def test_roi_crop_bf16_frames_high_coords():
     assert crop_ix.dtype == jnp.bfloat16
     err_ix = np.abs(np.asarray(crop_ix[0], np.float32) - ref).max()
     assert err_ix < 0.05, err_ix
+
+    # the gather variant shares the contract: f32 coords, frame-dtype out
+    crop_g = roi_crop_bilinear_gather(frame32.astype(jnp.bfloat16), boxes,
+                                      80, 80)
+    assert crop_g.dtype == jnp.bfloat16
+    err_g = np.abs(np.asarray(crop_g[0, 0], np.float32) - ref).max()
+    assert err_g < 0.05, err_g
 
 
 def test_resize_bilinear_matches_cv2():

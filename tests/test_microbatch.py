@@ -111,6 +111,53 @@ def test_runner_failure_fails_the_futures():
     assert raised
 
 
+def test_shape_mismatch_raises_in_caller_not_collector():
+    """A frame that can't stack with the batcher's first frame must raise
+    in submit() (the caller), never inside the collector thread — a dead
+    collector would wedge every later request forever."""
+    def run(frames):
+        B = frames.shape[0]
+        z = jnp.zeros((B, 4, 4))
+        return PipelineOut(z, jnp.zeros((B, 4)), jnp.zeros((B, 4), bool),
+                           jnp.zeros((B, 4, 7, 2)))
+
+    with MicroBatcher(run, bucket_sizes=(1, 2), max_wait_ms=1) as mb:
+        mb.submit(np.zeros((8, 8, 3), np.float32)).result(timeout=30)
+        try:
+            mb.submit(np.zeros((16, 16, 3), np.float32))
+            raised = False
+        except ValueError:
+            raised = True
+        assert raised
+        # the collector must still be alive and serving
+        r = mb.submit(np.zeros((8, 8, 3), np.float32)).result(timeout=30)
+        assert r["boxes"].shape == (4, 4)
+
+
+def test_cancelled_future_does_not_kill_collector():
+    """A client that times out and cancels its Future (cancel always
+    succeeds — these futures are never marked running) must not crash the
+    collector when it later tries to resolve that future."""
+    release = threading.Event()
+
+    def run(frames):
+        release.wait(timeout=30)
+        B = frames.shape[0]
+        z = jnp.zeros((B, 4, 4))
+        return PipelineOut(z, jnp.zeros((B, 4)), jnp.zeros((B, 4), bool),
+                           jnp.zeros((B, 4, 7, 2)))
+
+    frame = np.zeros((8, 8, 3), np.float32)
+    with MicroBatcher(run, bucket_sizes=(1,), max_wait_ms=1) as mb:
+        fut = mb.submit(frame)          # runner blocks on `release`
+        time.sleep(0.05)
+        assert fut.cancel()             # client gives up
+        release.set()                   # runner finishes; collector
+        # resolves the cancelled future (must not raise) and lives on
+        r = mb.submit(frame).result(timeout=30)
+        assert r["scores"].shape == (4,)
+
+
 def test_concurrent_submitters_all_resolve():
     def run(frames):
         B = frames.shape[0]

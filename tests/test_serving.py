@@ -104,6 +104,45 @@ def test_server_warmup_makes_serving_stall_free():
     assert st["bucket_clamps"] == srv.bucket_clamps
 
 
+def test_warmup_default_dtype_matches_served_traffic():
+    """warmup() without frame_dtype must warm the dtype production frames
+    actually arrive in — the repo's serving compositions feed bf16 on both
+    the int8 and the bf16-folded configs (bench.py). A mismatched default
+    makes warmup silently ineffective (jit keys on dtype), so assert the
+    served call is a cache HIT via the jitted pipeline's cache size."""
+    from mit_driverless_cv_traininginfra_tpu.infer.pipeline import (
+        two_stage_pipeline,
+        two_stage_pipeline_int8,
+    )
+
+    # int8 config: default must be bf16
+    pol = AdaptiveCapacity(floor=4, quantum=4, window=4, margin=1.0,
+                           warmup_capacity=4)
+    srv, frames = _server(policy=pol)
+    srv.warmup([frames.shape[0]], capacities=[4])
+    n0 = two_stage_pipeline_int8._cache_size()
+    srv(frames.astype(jnp.bfloat16))
+    assert two_stage_pipeline_int8._cache_size() == n0
+
+    # bf16-folded config: default must follow the params dtype
+    spec = load_network_spec(FIXTURE, vanilla_anchor=True)
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    folded = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16),
+                                    fold_bn(params, state, spec))
+    rp, rs = rektnet.init(jax.random.PRNGKey(1))
+    rpf = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16),
+                                 rektnet.fold_bn(rp, rs))
+    srv16 = TwoStageServer(
+        spec, yolo_params=folded, rekt_params=rpf, conf_thresh=0.1,
+        max_det=4, policy=AdaptiveCapacity(floor=4, quantum=4, window=4,
+                                           margin=1.0, warmup_capacity=4))
+    srv16.warmup([2], capacities=[4])
+    n0 = two_stage_pipeline._cache_size()
+    rng = np.random.default_rng(3)
+    srv16(jnp.asarray(rng.random((2, 64, 64, 3)), jnp.bfloat16))
+    assert two_stage_pipeline._cache_size() == n0
+
+
 def test_server_counts_compiles_without_warmup():
     pol = AdaptiveCapacity(floor=2, quantum=2, window=4, margin=1.0,
                            warmup_capacity=2, shrink_patience=1)

@@ -14,10 +14,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from mit_driverless_cv_traininginfra_tpu.utils.jaxcache import (
+    enable_compile_cache,
+)
+
+enable_compile_cache()
 
 import jax.numpy as jnp
 import numpy as np

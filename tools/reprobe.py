@@ -67,13 +67,11 @@ def _probe(name):
     # takes minutes even for tiny kernels, which reads as a spurious
     # TIMEOUT. Cache keys include the compiler version, so a toolchain
     # update still recompiles (and re-tests) every probe.
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/jax_comp_cache"))
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
+    from mit_driverless_cv_traininginfra_tpu.utils.jaxcache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
 
     import jax.numpy as jnp
     import numpy as np
