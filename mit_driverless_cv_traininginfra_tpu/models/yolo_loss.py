@@ -130,16 +130,18 @@ def _bce_logits(logit, t):
 
     In exact arithmetic the forward is identical (softplus(l) =
     −log(1−σ(l)); the clamp binds iff softplus > 100, i.e. |l| > 100).
-    In f32 the two diverge in the saturation band 16.6 < |l| < 100:
-    σ(l) there rounds to exactly 0/1, so the post-sigmoid form
-    (:func:`_bce`, and torch's BCELoss it mirrors) hits log(0) and
-    returns the clamp value 100, while this form returns the TRUE loss
-    ≈|l|. The logits form is the more accurate one and its gradients
-    stay bounded (softplus' = sigmoid) where the post-sigmoid form emits
-    0·inf = NaN — measured as flagship-scale training divergence at step
-    ~3 with B=32 (tools/train_to_map.py r3). Loss-VALUE parity vs torch
-    therefore holds only outside the saturation band; the oracle tests
-    exercise unsaturated logits."""
+    In f32 the two diverge where the post-sigmoid form's "wrong-side"
+    log saturates: for t=0 with l ∈ (16.6, 100), σ(l) rounds to exactly
+    1.0 so :func:`_bce` (and torch's BCELoss it mirrors) hits log(0)
+    and returns the clamp value 100, while this form returns the TRUE
+    loss ≈ l; symmetrically for t=1 only once σ(l) underflows to 0
+    (l ≲ −88 — below that e^l is still representable and both forms
+    agree). The logits form is the more accurate one and its gradients
+    stay bounded (softplus' = sigmoid) where the post-sigmoid form
+    emits 0·inf = NaN — measured as flagship-scale training divergence
+    at step ~3 with B=32 (tools/train_to_map.py r3). Loss-VALUE parity
+    vs torch therefore holds only outside those saturation regions; the
+    oracle tests exercise unsaturated logits."""
     return (t * jnp.minimum(jax.nn.softplus(-logit), 100.0)
             + (1.0 - t) * jnp.minimum(jax.nn.softplus(logit), 100.0))
 

@@ -24,5 +24,6 @@ from mit_driverless_cv_traininginfra_tpu.ops.image import (  # noqa: F401
 )
 from mit_driverless_cv_traininginfra_tpu.ops.pallas_crop import (  # noqa: F401
     crop_kernel_applicable,
+    crop_kernel_box_limits,
     roi_crop_windowed,
 )

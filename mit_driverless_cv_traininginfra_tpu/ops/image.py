@@ -167,9 +167,13 @@ def roi_crop_bilinear_gather(frames, boxes, out_h: int = 80, out_w: int = 80):
     y1i = jnp.minimum(y0i + 1, H - 1)
     # like the matmul variants: coords stay f32, but the [0,1) lerp
     # weights are carried in the frame dtype so bf16 frames yield bf16
-    # crops (not a silent f32 promotion)
-    fx = (sx - x0i)[..., None].astype(frames.dtype)  # (B, K, ow, 1)
-    fy = (sy - y0i)[..., None].astype(frames.dtype)  # (B, K, oh, 1)
+    # crops (not a silent f32 promotion). Integer frames keep f32
+    # weights — casting [0,1) to an int dtype would truncate bilinear
+    # into nearest-floor sampling.
+    wdt = (frames.dtype if jnp.issubdtype(frames.dtype, jnp.floating)
+           else jnp.float32)
+    fx = (sx - x0i)[..., None].astype(wdt)  # (B, K, ow, 1)
+    fy = (sy - y0i)[..., None].astype(wdt)  # (B, K, oh, 1)
 
     rows0 = jax.vmap(lambda fr, yi: fr[yi])(frames, y0i)  # (B, K, oh, W, C)
     rows1 = jax.vmap(lambda fr, yi: fr[yi])(frames, y1i)
