@@ -121,8 +121,14 @@ def affine_labels(h: int, w: int, targets: np.ndarray, angle: float = 0,
                   shear: Tuple[float, float] = (0, 0)) -> np.ndarray:
     """Rewarp (N,5) [c,x1,y1,x2,y2] labels through the homography
     (utils/datasets.py:317-382): warp all 4 corners, take the enclosing box,
-    apply the angle-based reduction, clamp to [0, max(w,h)], and keep only
-    non-degenerate boxes (w,h > 4, area ratio > 0.1, aspect < 10)."""
+    apply the angle-based reduction, clamp to [0, max(w,h)], and update only
+    non-degenerate boxes (w,h > 4, area ratio > 0.1, aspect < 10).
+
+    Reference quirk: boxes that FAIL the degeneracy filter are NOT dropped —
+    they are retained with their original pre-warp coordinates
+    (``targets[i, 1:5] = xy[i]`` only for survivors, utils/datasets.py:382),
+    so a rejected box keeps pointing at where the object was before the
+    warp. Do not "fix" this to drop rejected rows on parity paths."""
     targets = np.asarray(targets, np.float32).copy()
     height = max(w, h)
     M = _affine_matrix(w, h, angle, translate, scale, shear)
@@ -194,7 +200,13 @@ def sigmoid_contrast(arr: np.ndarray, gain: float, cutoff: float) -> np.ndarray:
 
 def sharpen(arr: np.ndarray, alpha: float, lightness: float = 1.0) -> np.ndarray:
     """imgaug Sharpen(alpha): blend identity with the sharpening kernel
-    [[-1,-1,-1],[-1,8+lightness,-1],[-1,-1,-1]]."""
+    [[-1,-1,-1],[-1,8+lightness,-1],[-1,-1,-1]].
+
+    lightness defaults to 1.0 deliberately: the reference pins
+    ``imgaug==0.3.0`` (CVC-YOLOv3/requirements.txt:8), whose
+    ``Sharpen(alpha, lightness=1)`` is a fixed scalar — the stochastic
+    range default (0.75, 2.0) only appeared in imgaug 0.4.0, which the
+    reference never ran. Keep 1.0 for parity."""
     kernel = np.array(
         [[-1, -1, -1], [-1, 8 + lightness, -1], [-1, -1, -1]], np.float32
     )

@@ -124,6 +124,13 @@ class _PoolLoader:
         self.shuffle = shuffle
         self._rng = np.random.default_rng(seed)
         n_full = len(pool) // batch_size
+        if n_full == 0 and steps_per_epoch is None:
+            # a silent zero-step epoch would "train" nothing while the
+            # driver's epoch counter advances and checkpoints init weights
+            raise ValueError(
+                f"pool of {len(pool)} samples cannot fill one batch of "
+                f"{batch_size}; lower batch_size, raise the pool size, or "
+                "pass steps_per_epoch to sample with replacement")
         self.steps = steps_per_epoch if steps_per_epoch is not None else n_full
 
     def __len__(self) -> int:

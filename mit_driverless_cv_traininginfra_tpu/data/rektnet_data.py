@@ -168,15 +168,31 @@ class RektNetLoader:
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
-        idxs = range(len(self.dataset))
+        n = len(self.dataset)
         if self.num_workers > 0:
             from concurrent.futures import ThreadPoolExecutor
 
+            batches = [range(i, min(i + self.batch_size, n))
+                       for i in range(0, n, self.batch_size)]
             with ThreadPoolExecutor(self.num_workers) as pool:
-                items = pool.map(self.dataset.__getitem__, idxs)
-                yield from self._batch(items)
+                # bounded pipeline, same rationale as data/loader.DataLoader:
+                # Executor.map submits EVERY item up front, so workers would
+                # decode the whole dataset ahead of the consumer and
+                # accumulate it in memory; keep ≤2 batches in flight instead
+                prefetch = 2
+                window = [[pool.submit(self.dataset.__getitem__, i)
+                           for i in b] for b in batches[:prefetch]]
+                nxt = prefetch
+                for _ in range(len(batches)):
+                    futs = window.pop(0)
+                    if nxt < len(batches):
+                        window.append([
+                            pool.submit(self.dataset.__getitem__, i)
+                            for i in batches[nxt]])
+                        nxt += 1
+                    yield self._stack([f.result() for f in futs])
         else:
-            yield from self._batch(map(self.dataset.__getitem__, idxs))
+            yield from self._batch(map(self.dataset.__getitem__, range(n)))
 
     def _batch(self, items):
         buf = []

@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import random
 import sys
+import threading
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -104,7 +105,9 @@ class ImageLabelDataset:
                 self.labels.append(row.boxes)
                 self.scales.append(row.scale)
 
-        self._rng = random.Random(seed)
+        self._seed = seed
+        self._epoch = 0
+        self._rng = random.Random(seed)  # constructor-time subset pick only
         if num_images >= 0 and num_images < len(self.img_files):
             idx = self._rng.sample(range(len(self.img_files)), k=num_images)
             self.img_files = [self.img_files[i] for i in idx]
@@ -121,12 +124,12 @@ class ImageLabelDataset:
         self.bw = bw
         self.vis_batch = vis_batch
         self.vis_counter = 0
+        self._vis_lock = threading.Lock()
         self.blur = blur
         self.salt = salt
         self.noise = noise
         self.contrast = contrast
         self.sharpen = sharpen
-        self._np_rng = np.random.default_rng(seed)
         # device_aug: skip all host-side augmentation and keep labels in
         # pixel corner format — ops.device_aug.augment_batch runs inside the
         # jitted train step instead (BASELINE: on-device XLA preprocessing)
@@ -135,13 +138,25 @@ class ImageLabelDataset:
     def __len__(self) -> int:
         return len(self.img_files)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the per-item RNG stream (DistributedSampler.set_epoch
+        pattern): augmentation draws are keyed on (seed, epoch, index), so
+        the same index re-augments differently across epochs while staying
+        deterministic regardless of loader worker count or batch order."""
+        self._epoch = int(epoch)
+
+    def _item_rngs(self, index: int):
+        mix = (self._seed * 1_000_003 + self._epoch) * 1_000_003 + index
+        return random.Random(mix), np.random.default_rng(
+            [self._seed, self._epoch, index])
+
     def _pad_labels(self, labels: np.ndarray) -> np.ndarray:
         pad = self.num_targets_per_image - len(labels)
         if pad > 0:
             labels = np.concatenate([labels, np.zeros((pad, 5), np.float32)], 0)
         return labels
 
-    def _vis(self, img, labels, suffix: str, color: str):
+    def _vis(self, img, labels, uri: str, suffix: str, color: str):
         """Stage-by-stage artifact dump for the --vis_batch harness
         (utils/datasets.py:134-140,182-224: original/scaled/per-patch/
         pre-aug/post-aug renders into the visualization dir)."""
@@ -149,20 +164,22 @@ class ImageLabelDataset:
             visualize_and_save_to_local,
         )
 
-        name = os.path.basename(self._vis_uri).rsplit(".", 1)[0]
+        name = os.path.basename(uri).rsplit(".", 1)[0]
         path = os.path.join(VIS_DIR, f"{name}_{suffix}.jpg")
         visualize_and_save_to_local(img.copy(), labels, path, box_color=color)
         print(f"new image saved to {path}")
 
     def __getitem__(self, index: int) -> Tuple[str, np.ndarray, np.ndarray]:
-        rng = self._rng
+        # per-item RNGs: __getitem__ runs concurrently on loader worker
+        # threads, so drawing from a shared Random would destroy seed
+        # reproducibility and interleave streams across items
+        rng, np_rng = self._item_rngs(index)
         img_uri = self.img_files[index]
         img_boxes = self.labels[index]
         orig_img = open_rgb(img_uri)  # native C++ decode when built
-        self._vis_uri = img_uri
         if self.vis_batch and len(img_boxes) > 0:
             raw = _np_xyhw_to_corner_with_class(np.asarray(img_boxes, np.float32))
-            self._vis(orig_img, raw, "original", "green")
+            self._vis(orig_img, raw, img_uri, "original", "green")
 
         if self.ts:
             scale = self.scales[index]
@@ -191,7 +208,11 @@ class ImageLabelDataset:
             img = padded.resize((self.width, self.height), Image.BILINEAR)
 
         if len(img_boxes) == 0:
+            if self.bw:
+                img = img.convert("L")
             arr = np.asarray(img, np.float32) / 255.0
+            if arr.ndim == 2:
+                arr = arr[..., None]
             return img_uri, arr, self._pad_labels(np.zeros((0, 5), np.float32))
 
         labels = _np_xyhw_to_corner_with_class(np.asarray(img_boxes, np.float32))
@@ -199,18 +220,19 @@ class ImageLabelDataset:
             labels[:, 1:5] *= self.scales[index]
             labels[:, 1:5] += [horiz_pad, vert_pad, horiz_pad, vert_pad]
             if self.vis_batch:
-                self._vis(padded, labels, "scaled", "red")
+                self._vis(padded, labels, img_uri, "scaled", "red")
                 for pi in range(n_patches):
                     bnd = get_patch_bounds(padded.size[0], padded.size[1],
                                            pw, ph, pi)
                     plabels = filter_and_offset_labels(labels, bnd)
-                    self._vis(padded.crop(bnd), plabels, f"patch_{pi}", "blue")
+                    self._vis(padded.crop(bnd), plabels, img_uri,
+                              f"patch_{pi}", "blue")
             labels = filter_and_offset_labels(labels, boundary)
         else:
             labels[:, 1:5] += [horiz_pad, vert_pad, horiz_pad, vert_pad]
             labels[:, 1:5] *= ratio
             if self.vis_batch:
-                self._vis(img, labels, "pad_resized", "blue")
+                self._vis(img, labels, img_uri, "pad_resized", "blue")
 
         if self.device_aug:
             # host keeps only the affine (PIL's C warp is cheap; the
@@ -225,11 +247,18 @@ class ImageLabelDataset:
                 img = A.affine_image(img, angle, translate, sc, shear)
                 labels = A.affine_labels(img_h, img_w, labels, -angle,
                                          translate, sc, (-shear, 0))
+            if self.bw:
+                # channel config must be honoured on the host path even
+                # in device-aug mode — the on-device photometric step
+                # can't change conv1's input channel count
+                img = img.convert("L")
             arr = np.asarray(img, np.float32) / 255.0
+            if arr.ndim == 2:
+                arr = arr[..., None]
             return img_uri, arr, self._pad_labels(labels.astype(np.float32))
 
         if self.vis_batch and self.data_aug:
-            self._vis(img, labels, "before_aug", "red")
+            self._vis(img, labels, img_uri, "before_aug", "red")
         if (self.augment_hsv or self.data_aug) and rng.random() > 0.5:
             img = A.color_jitter(img, rng)
 
@@ -259,7 +288,7 @@ class ImageLabelDataset:
             arr = A.gaussian_blur(arr, rng.uniform(0, 3.0))
         if self.noise and rng.random() > 0.3:
             arr = A.additive_gaussian_noise(arr, rng.uniform(0, 0.03 * 255),
-                                            self._np_rng)
+                                            np_rng)
         if self.contrast and rng.random() > 0.5:
             arr = A.sigmoid_contrast(arr, rng.randint(5, 10), rng.uniform(0.45, 0.75))
         if self.sharpen and rng.random() > 0.3:
@@ -268,9 +297,11 @@ class ImageLabelDataset:
         if self.vis_batch:
             if self.data_aug:
                 self._vis(Image.fromarray(arr if arr.ndim == 3 else arr[..., 0]),
-                          labels, "post_augmentation", "green")
-            self.vis_counter += 1
-            if self.vis_counter > (self.vis_batch - 1):
+                          labels, img_uri, "post_augmentation", "green")
+            with self._vis_lock:
+                self.vis_counter += 1
+                done = self.vis_counter > (self.vis_batch - 1)
+            if done:
                 sys.exit("Finished visualizing enough images. Exiting!")
 
         # normalise to xywh in [0,1] (utils/datasets.py:307-309)

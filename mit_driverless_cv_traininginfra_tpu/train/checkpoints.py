@@ -78,11 +78,108 @@ def rektnet_params_to_state_dict(params, state):
     return sd
 
 
-def save_rektnet_pt(path: str, params, state, epoch: int = 0,
-                    optimizer_state=None) -> None:
-    """Write a reference-layout ``.pt`` checkpoint (train_eval.py:103-110)."""
+def _rektnet_param_entries(tree):
+    """Yield (torch_key, numpy array) for every *parameter* (no BN buffers)
+    of a params-shaped pytree, in the reference ``KeypointNet``'s module
+    registration order (keypoint_net.py:17-25, resnet.py:12-20) — i.e. the
+    order of ``model.parameters()``. Conv weights transpose HWIO→OIHW.
+    Works on params themselves and on any same-structured tree (Adam mu/nu).
+    """
+    def conv(prefix, p):
+        yield f"{prefix}.weight", np.transpose(np.asarray(p["w"]), (3, 2, 0, 1))
+        yield f"{prefix}.bias", np.asarray(p["b"])
+
+    def bn(prefix, p):
+        yield f"{prefix}.weight", np.asarray(p["scale"])
+        yield f"{prefix}.bias", np.asarray(p["bias"])
+
+    yield from conv("conv", {"w": tree["stem"]["w"], "b": tree["stem"]["b"]})
+    yield from bn("bn", tree["stem"]["bn"])
+    for i in range(1, 5):
+        p = tree[f"res{i}"]
+        yield from conv(f"res{i}.conv1", p["conv1"])
+        yield from bn(f"res{i}.bn1", p["bn1"])
+        yield from conv(f"res{i}.conv2", p["conv2"])
+        yield from bn(f"res{i}.bn2", p["bn2"])
+        yield from conv(f"res{i}.shortcut_conv", p["shortcut_conv"])
+        yield from bn(f"res{i}.shortcut_bn", p["shortcut_bn"])
+    yield from conv("out", tree["out"])
+
+
+def _find_adam_state(opt_state):
+    """Locate the ScaleByAdamState (mu/nu/count) inside an arbitrarily
+    nested optax state (inject_hyperparams wrapper, chains)."""
+    found = []
+
+    def visit(node):
+        if found:
+            return
+        if hasattr(node, "mu") and hasattr(node, "nu") and hasattr(node, "count"):
+            found.append(node)
+            return
+        if hasattr(node, "inner_state"):
+            visit(node.inner_state)
+        elif isinstance(node, (tuple, list)):
+            for child in node:
+                visit(child)
+
+    visit(opt_state)
+    return found[0] if found else None
+
+
+def rektnet_optimizer_state_dict(opt_state, lr: Optional[float] = None):
+    """Our optax Adam state → ``torch.optim.Adam.state_dict()`` layout, so
+    the ``optimizer`` slot of the ``.pt`` checkpoint is resumable by the
+    reference's own tooling (train_eval.py:108-110 saves
+    ``optimizer.state_dict()``; a resume does ``load_state_dict``).
+
+    optax's ``mu``/``nu`` are exactly torch Adam's biased first/second
+    moments (``exp_avg``/``exp_avg_sq``); ``count`` is torch's ``step``
+    (both count completed updates, and both apply bias correction from it).
+    Returns {} if no Adam state is found (e.g. SGD)."""
     import torch
 
+    adam = _find_adam_state(opt_state)
+    if adam is None:
+        return {}
+    step = int(np.asarray(adam.count))
+    mus = [a for _, a in _rektnet_param_entries(adam.mu)]
+    nus = [a for _, a in _rektnet_param_entries(adam.nu)]
+    state = {
+        i: {
+            "step": torch.tensor(float(step)),
+            "exp_avg": torch.from_numpy(
+                np.ascontiguousarray(m.astype(np.float32))),
+            "exp_avg_sq": torch.from_numpy(
+                np.ascontiguousarray(v.astype(np.float32))),
+        }
+        for i, (m, v) in enumerate(zip(mus, nus))
+    }
+    if lr is None:
+        try:
+            lr = float(np.asarray(opt_state.hyperparams["lr"]))
+        except (AttributeError, KeyError, TypeError):
+            lr = 1e-3
+    group = {
+        "lr": lr, "betas": (0.9, 0.999), "eps": 1e-8, "weight_decay": 0,
+        "amsgrad": False, "maximize": False, "foreach": None,
+        "capturable": False, "differentiable": False, "fused": None,
+        "params": list(range(len(mus))),
+    }
+    return {"state": state, "param_groups": [group]}
+
+
+def save_rektnet_pt(path: str, params, state, epoch: int = 0,
+                    optimizer_state=None) -> None:
+    """Write a reference-layout ``.pt`` checkpoint (train_eval.py:103-110).
+
+    Pass ``optimizer_state`` (an optax state or a ready torch-layout dict)
+    so the checkpoint carries real Adam moments like the reference's does.
+    """
+    import torch
+
+    if optimizer_state is not None and not isinstance(optimizer_state, dict):
+        optimizer_state = rektnet_optimizer_state_dict(optimizer_state)
     ckpt = {
         "epoch": epoch,
         "model": rektnet_params_to_state_dict(params, state),

@@ -242,7 +242,8 @@ def main(*, train_dataset_uri: str, dataset_path: str,
             pt_uri = os.path.join(output_path,
                                   f"{epoch}_loss_{round(val_loss, 2)}.pt")
             print(f"Saving model to {pt_uri}")
-            save_rektnet_pt(pt_uri, ts.params, ts.model_state, epoch=epoch)
+            save_rektnet_pt(pt_uri, ts.params, ts.model_state, epoch=epoch,
+                            optimizer_state=ts.opt_state)
             save_orbax(orbax_dir, jax.tree_util.tree_map(np.asarray, ts))
             with open(meta_path, "w") as f:
                 f.write(str(epoch + 1))

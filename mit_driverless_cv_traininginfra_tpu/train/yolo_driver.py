@@ -15,6 +15,7 @@ prefetch, BN stats over the global batch.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Optional
@@ -48,7 +49,13 @@ from mit_driverless_cv_traininginfra_tpu.train.steps import (
 )
 from mit_driverless_cv_traininginfra_tpu.utils.logger import write_score_file
 
-LOSS_LABELS = ["Total", "L-x", "L-y", "L-w", "L-h", "L-obj", "L-noobj"]
+# Reference quirk: train.py:56 labels the last two columns "L-noobj, L-obj"
+# while the component tuple it prints is (x,y,w,h,obj,noobj) (models.py:211)
+# — the printed names are swapped relative to the values. Log-parsing
+# tooling keyed on the reference's column headers expects this order, so we
+# reproduce the mislabeling; the VALUES (losses[5]=obj, losses[6]=noobj)
+# match the reference's positions exactly.
+LOSS_LABELS = ["Total", "L-x", "L-y", "L-w", "L-h", "L-noobj", "L-obj"]
 
 
 def run_epoch(*, label_prefix: str, data_loader, spec, tx, ts, mesh,
@@ -122,15 +129,22 @@ def pad_pair(imgs, labels, n_dev):
     return imgs, labels
 
 
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _detect_eval(spec, params, model_state, imgs):
+    # module-level jit with params as ARGUMENTS: a closure jit baked the
+    # weights in as constants and recompiled the whole detection graph at
+    # every checkpoint (minutes per compile through the axon tunnel)
+    return detections(spec, params, model_state, imgs)
+
+
 def validate_map(*, data_loader, spec, params, model_state, mesh, top_k=200):
     """mAP/R/P over a loader (validate.validate, validate.py:61-182)."""
     t0 = time.time()
     aps, rs, ps, valids = [], [], [], []
     n_images = 0
-    det_fn = jax.jit(lambda im: detections(spec, params, model_state, im))
     for _, imgs, targets in data_loader:
         n_images += imgs.shape[0]
-        dets = det_fn(imgs)
+        dets = _detect_eval(spec, params, model_state, imgs)
         ev = evaluate_image_batch(
             dets, targets, spec.net.width, spec.net.height,
             conf_thresh=spec.net.conf_thresh, nms_thresh=spec.net.nms_thresh,
@@ -251,6 +265,10 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
     epoch = start_epoch
     while epoch < num_epochs and step[0] < num_steps and not evaluate:
         epoch += 1
+        # fresh augmentation draws each epoch (per-item RNGs are keyed on
+        # (seed, epoch, index) for thread-safe reproducibility); val keeps
+        # epoch 0 so its random patch picks are stable between checkpoints
+        train_ds.set_epoch(epoch)
         # StepLR stepped at the top of the epoch (train.py:199,207)
         ts_state = ts_state._replace(
             opt_state=set_lr(ts_state.opt_state, step_lr(lr, gamma, epoch)))
@@ -261,12 +279,15 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
             compute_dtype="bfloat16" if mixed_precision else "float32",
             device_aug=device_aug,
             aug_key=jax.random.PRNGKey(seed * 7919 + epoch),
-            # honour the user's augmentation flags on the device path
-            # (data_aug turns the suite on, like the host path)
+            # honour the user's augmentation flags on the device path with
+            # the HOST path's semantics (yolo_dataset.__getitem__, matching
+            # the reference): data_aug turns on color jitter (+affine,
+            # handled host-side), while lr_flip and noise need their own
+            # flags in both modes
             aug_flags=dict(
-                lr_flip=bool(lr_flip or data_aug),
+                lr_flip=bool(lr_flip),
                 jitter=bool(augment_hsv or data_aug),
-                noise=bool(noise or data_aug),
+                noise=bool(noise),
             ))
         print("Completed epoch: ", epoch)
 

@@ -254,3 +254,53 @@ def test_dataloader_bounded_prefetch(yolo_dataset_dir):
     # of the number of batches consumed at submit time
     for idx, consumed_at_submit in enumerate(in_flight):
         assert idx - consumed_at_submit <= 2, (idx, consumed_at_submit)
+
+
+def test_dataset_per_item_rng_reproducible_and_epoch_varying(yolo_dataset_dir):
+    """Augmentation draws are keyed on (seed, epoch, index): the same item
+    is bit-identical across calls and call orders (so worker threads can't
+    destroy the seed), and set_epoch() refreshes the draws."""
+    csv_path, img_dir = yolo_dataset_dir
+    mk = lambda: ImageLabelDataset(csv_path, img_dir, width=256, height=256,
+                                   ts=True, data_aug=True, noise=True,
+                                   seed=17)
+    a, b = mk(), mk()
+    # fetch in different orders — per-index outputs must still match
+    got_a = {i: a[i] for i in range(4)}
+    got_b = {i: b[i] for i in reversed(range(4))}
+    for i in range(4):
+        np.testing.assert_array_equal(got_a[i][1], got_b[i][1])
+        np.testing.assert_array_equal(got_a[i][2], got_b[i][2])
+    # same item twice on one instance: identical
+    np.testing.assert_array_equal(a[2][1], a[2][1])
+    # new epoch: augmentation changes
+    a.set_epoch(1)
+    assert not np.array_equal(got_a[2][1], a[2][1])
+
+
+def test_dataset_bw_honoured_in_all_modes(yolo_dataset_dir):
+    """channels=1 configs must get (H,W,1) arrays on every path — including
+    device_aug (whose on-device photometric step can't change conv1's input
+    channel count) and the empty-boxes early return."""
+    csv_path, img_dir = yolo_dataset_dir
+    for kw in (dict(device_aug=True, data_aug=True),
+               dict(device_aug=True), dict()):
+        ds = ImageLabelDataset(csv_path, img_dir, width=256, height=256,
+                               ts=True, bw=True, **kw)
+        _, img, _ = ds[0]
+        assert img.shape == (256, 256, 1), kw
+
+
+def test_rektnet_loader_threaded_matches_serial(rektnet_dataset_dir):
+    """num_workers>0 path (bounded prefetch window) must yield the same
+    batches in the same order as the serial path."""
+    csv_path, img_dir = rektnet_dataset_dir
+    ti, tl, _, _ = load_train_csv_dataset(csv_path, 0.0, dataset_path=img_dir)
+    ds = ConeDataset(ti, tl, img_dir, (80, 80))
+    serial = list(RektNetLoader(ds, batch_size=2, num_workers=0))
+    threaded = list(RektNetLoader(ds, batch_size=2, num_workers=2))
+    assert len(serial) == len(threaded)
+    for s, t in zip(serial, threaded):
+        np.testing.assert_array_equal(s[0], t[0])
+        np.testing.assert_array_equal(s[2], t[2])
+        assert s[3] == t[3]

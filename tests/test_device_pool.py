@@ -106,3 +106,18 @@ def test_pool_feeds_sharded_train_step():
         ts, loss, _ = yolo_train_step(spec, tx, ts, imgs,
                                       jnp.asarray(labels))
         assert np.isfinite(float(loss))
+
+
+def test_pool_loader_rejects_batch_larger_than_pool():
+    """A pool smaller than one batch must raise, not silently yield
+    zero-step epochs that 'train' nothing while checkpointing init
+    weights."""
+    import pytest
+
+    ds = _FakeDataset(n=4)
+    pool = DevicePool.from_dataset(ds)
+    with pytest.raises(ValueError, match="cannot fill one batch"):
+        pool.loader(8)
+    # explicit steps_per_epoch opts into with-replacement sampling
+    loader = pool.loader(8, steps_per_epoch=2)
+    assert len(list(loader)) == 2

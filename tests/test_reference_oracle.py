@@ -424,3 +424,69 @@ def test_darknet_full_forward_matches_reference(tmp_path):
     out_mine = np.asarray(detections(spec, params, state, jnp.asarray(x)))
     assert out_mine.shape == out_ref.shape, (out_mine.shape, out_ref.shape)
     np.testing.assert_allclose(out_mine, out_ref, rtol=1e-4, atol=2e-4)
+
+
+@pytest.mark.parity
+def test_rektnet_pt_optimizer_state_resumable_by_torch(tmp_path):
+    """The .pt checkpoint's ``optimizer`` slot must be a real
+    ``torch.optim.Adam.state_dict()`` (train_eval.py:108-110), not ``{}`` —
+    the reference's resume path calls ``optimizer.load_state_dict`` on it
+    and then keeps training. Round-trip: our optax Adam state → .pt →
+    reference KeypointNet + torch Adam → one real torch step."""
+    ref = _ref_modules()
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mit_driverless_cv_traininginfra_tpu.models import rektnet
+    from mit_driverless_cv_traininginfra_tpu.train.checkpoints import (
+        _find_adam_state,
+        save_rektnet_pt,
+    )
+    from mit_driverless_cv_traininginfra_tpu.train.optim import make_optimizer
+
+    params, state = rektnet.init(jax.random.PRNGKey(0))
+    tx = make_optimizer("Adam", lr=1e-3)
+    opt_state = tx.init(params)
+    rng = np.random.default_rng(6)
+    for _ in range(3):  # populate nonzero, step-dependent moments
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.normal(0, 0.01, p.shape), p.dtype),
+            params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    path = str(tmp_path / "resume.pt")
+    save_rektnet_pt(path, params, state, epoch=3, optimizer_state=opt_state)
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    assert ckpt["epoch"] == 3
+    net = ref["kpn"].KeypointNet(num_kpt=7, image_size=(80, 80),
+                                 onnx_mode=False, init_weight=False)
+    net.load_state_dict(ckpt["model"])
+    opt = torch.optim.Adam(net.parameters(), lr=1e-3)
+    opt.load_state_dict(ckpt["optimizer"])  # the reference resume call
+
+    # moments landed on the RIGHT parameters: shape match per-param, and the
+    # stem conv's exp_avg equals our mu (transposed HWIO→OIHW)
+    adam = _find_adam_state(opt_state)
+    assert int(np.asarray(adam.count)) == 3
+    torch_params = list(net.parameters())
+    assert len(torch_params) == len(ckpt["optimizer"]["state"])
+    for p in torch_params:
+        st = opt.state[p]
+        assert tuple(st["exp_avg"].shape) == tuple(p.shape)
+        assert tuple(st["exp_avg_sq"].shape) == tuple(p.shape)
+        assert int(st["step"]) == 3
+    mu_stem = np.transpose(np.asarray(adam.mu["stem"]["w"]), (3, 2, 0, 1))
+    np.testing.assert_allclose(
+        opt.state[torch_params[0]]["exp_avg"].numpy(), mu_stem,
+        rtol=1e-6, atol=1e-7)
+
+    # and torch can actually continue training from it
+    before = torch_params[0].detach().clone()
+    net.train()
+    hm, pts = net(torch.randn(2, 3, 80, 80))
+    (hm.sum() + pts.sum()).backward()
+    opt.step()
+    assert not torch.equal(before, torch_params[0])
