@@ -218,6 +218,11 @@ def decode_head(
     na = len(anchors)
     nattr = 5 + num_classes
     stride = img_height / gh
+    # Decode in f32 regardless of the head dtype: pixel coordinates reach
+    # 416 where bf16's ulp is 2.0 (±1 px box-center error per head). The
+    # convs stay bf16/int8 — this is the same boundary detections_int8
+    # draws (quantize.py casts heads to f32 before decode), now uniform.
+    head_out = head_out.astype(jnp.float32)
     # NHWC channel order equals the torch (B, A, 5+C, H, W) channel split.
     pred = head_out.reshape(b, gh, gw, na, nattr)
     pred = jnp.transpose(pred, (0, 3, 1, 2, 4))  # (B, A, H, W, 5+C)
@@ -359,10 +364,17 @@ def save_darknet_weights(
     cutoff: int = -1,
 ):
     """Write params back to Darknet ``.weights`` byte format
-    (models.py:399-422). ``cutoff`` mirrors the reference's slice."""
+    (models.py:399-422). ``cutoff`` is a literal Python slice endpoint.
+
+    Reference quirk: the reference's default ``cutoff=-1`` slices
+    ``module_defs[:-1]`` and so never writes the LAST module's weights.
+    For every real cfg the last block is a weightless yolo block and the
+    bytes are identical, but for a hypothetical conv-final spec the
+    reference drops that conv — we reproduce the slice verbatim so
+    round-trips through the torch loader stay byte-aligned."""
     if header is None:
         header = np.zeros(5, dtype=np.int32)
-    blocks = spec.blocks[:cutoff] if cutoff != -1 else spec.blocks
+    blocks = spec.blocks[:cutoff]
     with open(path, "wb") as fp:
         np.asarray(header, dtype=np.int32).tofile(fp)
         for i, b in enumerate(blocks):

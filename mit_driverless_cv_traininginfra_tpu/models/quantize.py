@@ -89,7 +89,14 @@ def quantize_params(spec: NetworkSpec, folded_params, amax: Dict[str, float],
                 "b": jnp.asarray(p["b"], act_dtype),
             }
             continue
-        qparams[str(i)] = _quantize_conv(p["w"], p["b"], amax.get(str(i), 1.0))
+        if str(i) not in amax:
+            # a silent 1.0 fallback would give this conv an input scale of
+            # 1/127 and saturate any |x|>1 activation — surface the
+            # spec/calibration mismatch instead
+            raise KeyError(
+                f"calibration amax missing for conv block {i}; re-run "
+                f"calibrate_amax against this spec")
+        qparams[str(i)] = _quantize_conv(p["w"], p["b"], amax[str(i)])
     return qparams
 
 

@@ -9,9 +9,9 @@ Numeric parity targets (reference file:line):
   ``[x, y, h, w]`` top-left, h before w)  — utils/utils.py:342-349
 - ``scale_labels`` / ``add_padding_on_each_side`` — utils/utils.py:353-371
 
-Everything is shape-polymorphic over leading batch dims and works on numpy
-arrays too (jnp ops accept them), so the host-side data pipeline and the
-jitted device code share one implementation.
+Everything is shape-polymorphic over leading batch dims and accepts numpy
+inputs (converted to jax arrays on entry — results are jax arrays), so the
+host-side data pipeline and the jitted device code share one implementation.
 """
 
 from __future__ import annotations
@@ -118,7 +118,7 @@ def xyhw2xyxy_corner(labels, skip_class_dimension: bool = True):
     """CSV ``[x, y, h, w]`` (top-left, h before w!) → ``[x1, y1, x2, y2]``
     (utils/utils.py:342-349)."""
     i = 1 if skip_class_dimension else 0
-    out = labels
+    out = labels = jnp.asarray(labels)  # .at[] needs a jax array
     out = out.at[..., 2 + i].set(labels[..., 0 + i] + labels[..., 3 + i])
     out = out.at[..., 3 + i].set(labels[..., 1 + i] + labels[..., 2 + i])
     return out
@@ -127,11 +127,13 @@ def xyhw2xyxy_corner(labels, skip_class_dimension: bool = True):
 def scale_labels(labels, scale, skip_class_dimension: bool = True):
     """Multiply the 4 box coords by ``scale`` (utils/utils.py:353-360)."""
     i = 1 if skip_class_dimension else 0
+    labels = jnp.asarray(labels)  # .at[] needs a jax array
     return labels.at[..., i : i + 4].set(labels[..., i : i + 4] * scale)
 
 
 def add_padding_on_each_side(labels, pad_w, pad_h, skip_class_dimension: bool = True):
     """Offset xyxy boxes by (pad_w, pad_h) (utils/utils.py:364-371)."""
     i = 1 if skip_class_dimension else 0
+    labels = jnp.asarray(labels)  # .at[] needs a jax array
     off = jnp.asarray([pad_w, pad_h, pad_w, pad_h], dtype=labels.dtype)
     return labels.at[..., i : i + 4].set(labels[..., i : i + 4] + off)

@@ -65,14 +65,20 @@ def _affine_matrices(key, B: int, angle_deg: float = 10.0,
 
 
 def _warp_bilinear(images, M_inv, fill: float = GREY):
-    """Inverse-map bilinear warp (B, H, W, C) with constant fill."""
+    """Inverse-map bilinear warp (B, H, W, C) with constant fill.
+
+    Coordinate math runs in f32 regardless of the image dtype: bf16
+    training pools (the TPU default) would otherwise build a coordinate
+    grid that cannot represent odd pixel indices ≥ 257 (bf16 ulp 2.0 above
+    256 — the ops/image.py crop-coords bug class). Only the [0,1]
+    interpolation weights are cast to the image dtype for the blend."""
     B, H, W, C = images.shape
-    ys = jnp.arange(H, dtype=images.dtype)
-    xs = jnp.arange(W, dtype=images.dtype)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")  # (H, W)
     ones = jnp.ones_like(gx)
     pts = jnp.stack([gx, gy, ones], axis=-1).reshape(1, H * W, 3)
-    src = jnp.einsum("bij,bpj->bpi", M_inv.astype(images.dtype), pts)
+    src = jnp.einsum("bij,bpj->bpi", M_inv.astype(jnp.float32), pts)
     sx = src[..., 0] / src[..., 2]
     sy = src[..., 1] / src[..., 2]
 
@@ -87,12 +93,15 @@ def _warp_bilinear(images, M_inv, fill: float = GREY):
         xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
         flat = images.reshape(B, H * W, C)
         vals = jnp.take_along_axis(flat, (yc * W + xc)[..., None], axis=1)
-        return jnp.where(inb[..., None], vals, fill)
+        return jnp.where(inb[..., None], vals, jnp.asarray(fill, images.dtype))
 
-    out = (sample(y0, x0) * ((1 - fy) * (1 - fx))[..., None]
-           + sample(y0, x0 + 1) * ((1 - fy) * fx)[..., None]
-           + sample(y0 + 1, x0) * (fy * (1 - fx))[..., None]
-           + sample(y0 + 1, x0 + 1) * (fy * fx)[..., None])
+    def wgt(v):
+        return v.astype(images.dtype)[..., None]
+
+    out = (sample(y0, x0) * wgt((1 - fy) * (1 - fx))
+           + sample(y0, x0 + 1) * wgt((1 - fy) * fx)
+           + sample(y0 + 1, x0) * wgt(fy * (1 - fx))
+           + sample(y0 + 1, x0 + 1) * wgt(fy * fx))
     return out.reshape(B, H, W, C)
 
 

@@ -79,6 +79,15 @@ def entry_block_applicable(spec: NetworkSpec) -> bool:
     # holds blocks 0..i-1 when block i runs): -3 at block 4 → block 1.
     if not isinstance(b[4], ShortcutBlock) or 4 + b[4].from_layer != 1:
         return False
+    # the consumer (quantize.forward_features_int8 entry_q path) feeds the
+    # kernel's q8 output straight into block 5 as an int8 3×3/s2 conv with
+    # padding 1 — block 5 must actually BE that conv and be quantizable
+    # (not preyolo), or the hardcoded stride/pad silently mis-shapes it
+    b5 = b[5]
+    if (not isinstance(b5, ConvBlock) or b5.size != 3 or b5.stride != 2
+            or b5.activation != "leaky" or not b5.batch_normalize
+            or b5.is_preyolo):
+        return False
     for i, blk in enumerate(b[5:], start=5):
         # routes carry absolute indices when non-negative, python-style
         # relative ones when negative (layer_outputs has i entries).

@@ -95,7 +95,13 @@ def res_stage_spans(spec: NetworkSpec):
                    and (n == 0 or (i - 1) not in routed)):
                 n += 1
                 i += 3
-            spans.append((start, n, c_full))
+            if n > 0:
+                spans.append((start, n, c_full))
+            else:
+                # first triplet of the run is routed-into → not fusable;
+                # advance past it or the outer loop would re-enter the
+                # same branch forever
+                i += 1
         else:
             i += 1
     return spans

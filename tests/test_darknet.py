@@ -187,3 +187,19 @@ mask=0,1,2
     np.testing.assert_array_equal(got_w, w_wide[:narrow])
     np.testing.assert_array_equal(np.asarray(loaded["0"]["bn"]["bias"]), bn[0])
     np.testing.assert_array_equal(np.asarray(lstate["0"]["var"]), bn[3])
+
+
+def test_decode_head_bf16_input_decodes_in_f32():
+    """Box decode always runs in f32: on the bf16 serving path pixel
+    coordinates reach 416 where bf16's ulp is 2.0 (±1 px center error).
+    A bf16 head must decode identically to its f32-cast twin."""
+    rng = np.random.default_rng(9)
+    # 13×13 head at 416 → stride 32; far cells have cx ≈ 400 px
+    raw = rng.normal(0, 2, (2, 13, 13, 18)).astype(np.float32)
+    bf = jnp.asarray(raw, jnp.bfloat16)
+    anchors = [(10.0, 13.0), (16.0, 30.0), (33.0, 23.0)]
+    out_bf = decode_head(bf, anchors, img_height=416, num_classes=1)
+    out_f32 = decode_head(bf.astype(jnp.float32), anchors, img_height=416,
+                          num_classes=1)
+    assert out_bf.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(out_bf), np.asarray(out_f32))

@@ -91,3 +91,17 @@ def test_lr_flip_label_consistency():
     assert flipped.any() and unflipped.any()
     # x1 < x2 preserved under flip
     assert (l[:, 1] < l[:, 3]).all()
+
+
+def test_warp_bf16_images_identity_exact():
+    """Coordinate math must run in f32 even for bf16 image pools: bf16
+    coordinates cannot represent odd pixel indices ≥ 257, so an identity
+    warp of a 416² bf16 image would sample every second far column from
+    the wrong pixel (the ops/image.py crop-coords bug class)."""
+    rng = np.random.default_rng(3)
+    base = rng.uniform(0, 1, (1, 416, 416, 3)).astype(np.float32)
+    imgs = jnp.asarray(base, jnp.bfloat16)
+    M_inv = jnp.tile(jnp.eye(3)[None], (1, 1, 1))
+    out = np.asarray(_warp_bilinear(imgs, M_inv)).astype(np.float32)
+    # identity warp == input, including rows/cols beyond 256
+    np.testing.assert_array_equal(out, np.asarray(imgs).astype(np.float32))

@@ -220,3 +220,16 @@ def test_forward_features_integration(tmp_path):
     scale = np.abs(a).mean() + 1e-3
     assert np.quantile(np.abs(a - b) / scale, 0.999) < 0.15
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+
+
+def test_applicability_validates_block5(tmp_path):
+    """The entry_q consumer hardcodes block 5 as an int8 3×3/s2 conv
+    (quantize.forward_features_int8) — a spec whose block 5 is stride 1
+    must be rejected by the gate, not silently run at stride 2."""
+    from mit_driverless_cv_traininginfra_tpu.config import load_network_spec
+
+    bad = "stride=1".join(ENTRY_CFG.rsplit("stride=2", 1))
+    cfg = tmp_path / "bad5.cfg"
+    cfg.write_text(bad)
+    spec = load_network_spec(str(cfg), vanilla_anchor=True)
+    assert not entry_block_applicable(spec)

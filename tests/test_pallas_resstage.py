@@ -65,3 +65,34 @@ def test_res_stage_kernel_matches_reference_interpret():
     full = np.asarray(res_stage_post(yq, B, S))
     assert full[:, 0].max() == 0 and full[:, -1].max() == 0
     assert full[:, :, 0].max() == 0 and full[:, :, -1].max() == 0
+
+
+def test_res_stage_spans_terminates_when_first_triplet_routed():
+    """Regression: a run whose FIRST triplet has a routed conv output used
+    to spin forever (i never advanced on the rejected run) and emit bogus
+    (start, 0, C) spans."""
+    import types
+
+    from mit_driverless_cv_traininginfra_tpu.config.darknet_cfg import (
+        ConvBlock,
+        RouteBlock,
+        ShortcutBlock,
+    )
+
+    def triplet():
+        return [
+            ConvBlock(filters=32, size=1, stride=1, batch_normalize=True,
+                      activation="leaky"),
+            ConvBlock(filters=64, size=3, stride=1, batch_normalize=True,
+                      activation="leaky"),
+            ShortcutBlock(from_layer=-3),
+        ]
+
+    # route into block 0 (the first 1×1): whole run unfusable → no spans
+    spec = types.SimpleNamespace(blocks=triplet() + [RouteBlock(layers=(0,))])
+    assert res_stage_spans(spec) == []
+
+    # clean run followed by a routed triplet: one span, no bogus n=0 entry
+    spec2 = types.SimpleNamespace(
+        blocks=triplet() + triplet() + [RouteBlock(layers=(3,))])
+    assert res_stage_spans(spec2) == [(0, 1, 64)]

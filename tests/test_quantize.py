@@ -120,3 +120,21 @@ def test_rektnet_int8_tracks_f32():
     # keypoints move by at most a few grid cells under int8 PTQ on
     # random (worst-case) weights
     assert float(jnp.abs(pts_ref - pts_q).mean()) < 0.05
+
+
+def test_quantize_params_rejects_missing_amax():
+    """A calibration dict that doesn't cover a conv must raise, not
+    silently quantize with amax=1.0 (input scale 1/127 saturates any
+    |x|>1 activation)."""
+    import pytest
+
+    from mit_driverless_cv_traininginfra_tpu.config.darknet_cfg import (
+        ConvBlock,
+    )
+
+    spec, folded, amax = _setup()
+    first_q = next(str(i) for i, b in enumerate(spec.blocks)
+                   if isinstance(b, ConvBlock) and not b.is_preyolo)
+    broken = {k: v for k, v in amax.items() if k != first_q}
+    with pytest.raises(KeyError, match="calibration amax missing"):
+        quantize_params(spec, folded, broken)
