@@ -4,9 +4,13 @@ Capability parity with ``CVC-YOLOv3/train_hyper.py:48-126`` /
 ``RektNet/train_eval_hyper.py:35-95`` without an optuna dependency:
 
 - a :class:`Study` with **create-or-join by name** and file-based shared
-  storage (JSON + advisory lock), so concurrent workers on other hosts can
-  join the same study the way the reference joined a shared MySQL store
-  (train_hyper.py:113-126) — DCN-level trial parallelism, no collectives;
+  storage (JSON + advisory lock), so concurrent workers can join the same
+  study the way the reference joined a shared MySQL store
+  (train_hyper.py:113-126) — trial parallelism with no collectives.
+  Caveat: ``fcntl.flock`` exclusion spans hosts only where the filesystem
+  maps flock to a network lock (NFSv4, most cluster filesystems); on
+  NFSv3/CIFS it is host-local, so run multi-HOST studies on a filesystem
+  with working flock semantics (workers within one host are always safe);
 - a TPE sampler (independent Parzen estimators per parameter: good/bad
   quantile split, Gaussian mixture around good observations, EI-ratio
   scoring) matching Optuna's default algorithm family; first
@@ -141,11 +145,18 @@ class Study:
         os.makedirs(storage_dir, exist_ok=True)
         self.sampler = sampler or TPESampler(seed=seed)
         self._specs: Dict[str, ParamSpec] = {}
-        if os.path.exists(self.path):
-            print("Joined existing study")
-        else:
+
+        # create-or-join must run under the lock: an unlocked exists-check
+        # + initial write lets a joining worker's empty store clobber
+        # trials another worker appended in between
+        def _init_store():
+            if os.path.exists(self.path):
+                return True
             self._write({"study_name": study_name, "trials": []})
-            print("Created study")
+            return False
+
+        joined = self._locked(_init_store)
+        print("Joined existing study" if joined else "Created study")
 
     # -- storage -----------------------------------------------------------
 
@@ -194,6 +205,15 @@ class Study:
                 value = float("inf")
                 state = "FAIL"
                 print(f"Trial {number} failed: {e}")
+            except BaseException:
+                # any other objective error (missing/garbage score file,
+                # Ctrl-C, ...): mark the trial FAIL in shared storage
+                # BEFORE propagating — the optuna contract — so no ghost
+                # RUNNING trial lingers for other workers
+                self._locked(
+                    lambda: self._finish(number, trial.params, None, "FAIL",
+                                         time.time() - t0))
+                raise
             self._locked(
                 lambda: self._finish(number, trial.params, value, state,
                                      time.time() - t0)

@@ -16,9 +16,13 @@ a sliding window of observed batch loads, set
 clamped to [floor, batch·max_det]. Shrinking is hysteretic: the policy
 only moves DOWN a bucket after ``shrink_patience`` consecutive queries
 wanted a lower one (a p99 dip must persist before paying a recompile —
-VERDICT r2 weak-#2), while growth is immediate (overflow drops
-keypoints; a stall is better than silent accuracy loss, and with
-``TwoStageServer.warmup`` the grown bucket is precompiled anyway).
+VERDICT r2 weak-#2), while growth is immediate in the policy. Note the
+server layer above (``TwoStageServer``) maps the policy's want onto its
+compiled bucket lattice: one-quantum growth is precompiled by
+``warmup()``; a want beyond the whole lattice is clamped to the largest
+compiled bucket by default (counted in ``capacity_exhausted`` — extend
+the lattice with another ``warmup()`` call, or opt into compile-on-grow
+with ``grow_past_warmed=True``).
 
 The reference has no analogue (its two stages are separate host
 processes, README.md:59); this is the TPU-native replacement for that
@@ -99,8 +103,13 @@ class AdaptiveCapacity:
             return int(min(self.warmup_capacity, hard_cap))
         want = self._want()
         if self._current is None:
-            self._current = want
-        elif want > self._current:
+            # first observation: adopt the want if it's at or above the
+            # warmup level, but a want BELOW it must obey the same shrink
+            # hysteresis as any other query — a quiet first sample must
+            # not drop the configured warmup headroom in one step
+            seed = max(int(self.warmup_capacity), self.floor)
+            self._current = want if want >= seed else seed
+        if want > self._current:
             self._current = want
             self._below = 0
             self.grows += 1

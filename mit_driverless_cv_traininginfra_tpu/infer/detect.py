@@ -84,8 +84,15 @@ def detect_image(
         conf_thresh = spec.net.conf_thresh
     if nms_thresh is None:
         nms_thresh = spec.net.nms_thresh
-    img = jnp.asarray(image, jnp.float32)
-    if img.max() > 1.5:
+    arr = np.asarray(image)
+    img = jnp.asarray(arr, jnp.float32)
+    if np.issubdtype(arr.dtype, np.integer):
+        # integer input is always 0-255 — scale unconditionally (a value
+        # heuristic would leave a near-black uint8 frame unscaled,
+        # turning pixel value 1 into full white)
+        img = img / 255.0
+    elif float(img.max()) > 1.5:
+        # float input: assume [0,1] unless values say otherwise
         img = img / 255.0
     h, w = int(img.shape[0]), int(img.shape[1])
     pad_h, pad_w, ratio = calculate_padding(h, w, spec.net.height, spec.net.width)

@@ -64,6 +64,10 @@ class MicroBatcher:
         self._stop = threading.Event()
         self._frame_spec: Optional[tuple] = None  # (shape, dtype) of frame 0
         self._spec_lock = threading.Lock()
+        # serialises submit() against stop(): without it a submit that
+        # passed the started-check could enqueue AFTER stop()'s drain and
+        # leave its Future unresolved forever
+        self._lifecycle_lock = threading.Lock()
         # stats
         self.batches = 0
         self.frames = 0
@@ -73,20 +77,25 @@ class MicroBatcher:
     # -- lifecycle ----------------------------------------------------------
 
     def start(self) -> "MicroBatcher":
-        if self._thread is not None:
-            return self
-        self._stop.clear()
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
+        with self._lifecycle_lock:
+            if self._thread is not None:
+                return self
+            self._stop.clear()
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
         return self
 
     def stop(self) -> None:
-        if self._thread is None:
-            return
-        self._stop.set()
-        self._q.put(None)  # wake the collector
-        self._thread.join()
-        self._thread = None
+        with self._lifecycle_lock:
+            if self._thread is None:
+                return
+            self._stop.set()
+            self._q.put(None)  # wake the collector
+            thread = self._thread
+            # mark stopped under the lock: no submit() can enqueue past
+            # this point, so the drain below is complete
+            self._thread = None
+        thread.join()
         # drain: fail any stragglers rather than hang their futures
         while True:
             try:
@@ -113,8 +122,6 @@ class MicroBatcher:
         on it); a mismatch raises here, in the caller, rather than inside
         the collector thread where it would wedge every pending request.
         """
-        if self._thread is None:
-            raise RuntimeError("MicroBatcher not started")
         arr = np.asarray(frame)
         spec = (arr.shape, arr.dtype)
         with self._spec_lock:
@@ -126,7 +133,10 @@ class MicroBatcher:
                 f"{self._frame_spec}; all submissions must share one "
                 f"shape/dtype")
         fut: Future = Future()
-        self._q.put((arr, fut))
+        with self._lifecycle_lock:
+            if self._thread is None:
+                raise RuntimeError("MicroBatcher not started")
+            self._q.put((arr, fut))
         return fut
 
     # -- collector ----------------------------------------------------------

@@ -69,7 +69,13 @@ def _crops_and_keypoints(kpt_apply, frames, boxes, scores, mask,
     via the indexed matmul crop, runs the net on that fixed-size buffer,
     and scatters the points back. Bit-identical to the dense pass whenever
     #valid ≤ crop_capacity; overflow drops the lowest-score detections'
-    keypoints (zeros), never their boxes.
+    keypoints, never their boxes.
+
+    Returns ``(pts (B, K, 7, 2) in [0,1] crop coords, kept (B, K) bool)``:
+    ``kept`` marks valid detections whose crops actually ran — callers
+    zero the frame-space keypoints of ``~kept`` slots so dropped
+    detections surface as all-zero keypoints (a detectable sentinel), not
+    as plausible-looking points at the box's top-left corner.
 
     ``crop_capacity=None`` (or ≥ B·K) keeps the dense path.
     """
@@ -81,7 +87,7 @@ def _crops_and_keypoints(kpt_apply, frames, boxes, scores, mask,
     if crop_capacity is None or crop_capacity >= B * K:
         crops = roi_crop_bilinear(frames, boxes, crop_size, crop_size)
         flat = crops.reshape(B * K, *crops.shape[2:])
-        return kpt_apply(flat).reshape(B, K, 7, 2)
+        return kpt_apply(flat).reshape(B, K, 7, 2), mask
     key = jnp.where(mask.reshape(-1), -scores.reshape(-1).astype(jnp.float32),
                     jnp.inf)
     sel = jax.lax.top_k(-key, crop_capacity)[1]
@@ -105,7 +111,8 @@ def _crops_and_keypoints(kpt_apply, frames, boxes, scores, mask,
             crop_size)
     pts_c = kpt_apply(crops_c)  # (C, 7, 2)
     pts = jnp.zeros((B * K, 7, 2), pts_c.dtype).at[sel].set(pts_c)
-    return pts.reshape(B, K, 7, 2)
+    kept = jnp.zeros((B * K,), bool).at[sel].set(True) & mask.reshape(-1)
+    return pts.reshape(B, K, 7, 2), kept.reshape(B, K)
 
 
 @functools.partial(
@@ -142,13 +149,15 @@ def two_stage_pipeline(
         kpt_apply = lambda c: rektnet.apply(rekt_params, rekt_state, c)[1]
     else:  # BN-folded serving params (rektnet.fold_bn)
         kpt_apply = lambda c: rektnet.apply_folded(rekt_params, c)[1]
-    pts = _crops_and_keypoints(kpt_apply, frames, boxes, scores, mask,
-                               crop_size, crop_capacity,
-                               crop_kernel)  # [0,1] crop coords
+    pts, kept = _crops_and_keypoints(kpt_apply, frames, boxes, scores, mask,
+                                     crop_size, crop_capacity,
+                                     crop_kernel)  # [0,1] crop coords
 
     x0y0 = boxes[..., None, 0:2]
     wh_box = (boxes[..., 2:4] - boxes[..., 0:2])[..., None, :]
-    kpts = x0y0 + pts * wh_box
+    # dropped/invalid slots get all-zero keypoints (detectable), not the
+    # box corner the raw mapping would produce
+    kpts = jnp.where(kept[..., None, None], x0y0 + pts * wh_box, 0.0)
     return PipelineOut(boxes, scores, mask, kpts)
 
 
@@ -185,10 +194,10 @@ def two_stage_pipeline_int8(
     dets = detections_int8(spec, yolo_q, frames, packed_stem_q=stem_q,
                            with_classes=False, entry_q=entry_q)
     boxes, scores, mask = _postprocess(dets, conf_thresh, nms_thresh, max_det)
-    pts = _crops_and_keypoints(lambda c: apply_rektnet_int8(rekt_q, c)[1],
-                               frames, boxes, scores, mask, crop_size,
-                               crop_capacity, crop_kernel)
+    pts, kept = _crops_and_keypoints(
+        lambda c: apply_rektnet_int8(rekt_q, c)[1],
+        frames, boxes, scores, mask, crop_size, crop_capacity, crop_kernel)
     x0y0 = boxes[..., None, 0:2]
     wh_box = (boxes[..., 2:4] - boxes[..., 0:2])[..., None, :]
-    kpts = x0y0 + pts * wh_box
+    kpts = jnp.where(kept[..., None, None], x0y0 + pts * wh_box, 0.0)
     return PipelineOut(boxes, scores, mask, kpts)

@@ -59,7 +59,8 @@ class TwoStageServer:
                  crop_size: int = 80,
                  policy: Optional[AdaptiveCapacity] = None,
                  observe_every: int = 8,
-                 crop_kernel: Optional[bool] = None):
+                 crop_kernel: Optional[bool] = None,
+                 grow_past_warmed: bool = False):
         if (yolo_q is None) == (yolo_params is None):
             raise ValueError("pass exactly one of yolo_q (int8) or "
                              "yolo_params (bf16/f32 folded)")
@@ -75,8 +76,8 @@ class TwoStageServer:
 
             crop_kernel = (jax.default_backend() == "tpu"
                            and crop_kernel_applicable(
-                               spec.net.height, spec.net.width, 3,
-                               crop_size, crop_size))
+                               spec.net.height, spec.net.width,
+                               spec.net.channels, crop_size, crop_size))
         self.crop_kernel = bool(crop_kernel)
         self.spec = spec
         self.yolo_q, self.stem_q, self.rekt_q = yolo_q, stem_q, rekt_q
@@ -89,13 +90,15 @@ class TwoStageServer:
         self.crop_size = crop_size
         self.policy = policy or AdaptiveCapacity()
         self.observe_every = max(1, observe_every)
+        self.grow_past_warmed = grow_past_warmed
         self.calls = 0
         self.current_capacity: Optional[int] = None
         # bucket bookkeeping
         self.warmed: set[tuple[int, int]] = set()   # (batch, capacity)
         self.seen: set[tuple[int, int]] = set()     # buckets executed
         self.compiles = 0        # serving-path calls on an unseen bucket
-        self.bucket_clamps = 0   # wants redirected to a warmed bucket
+        self.bucket_clamps = 0   # wants redirected to a compiled bucket
+        self.capacity_exhausted = 0  # wants ABOVE every compiled bucket
         self.warmup_seconds: float = 0.0
         # windowed-crop contract watch: boxes larger than the kernel's
         # window degrade to border-clipped crops (ops/pallas_crop.py).
@@ -107,7 +110,7 @@ class TwoStageServer:
                 crop_kernel_box_limits,
             )
 
-            self._box_limits = crop_kernel_box_limits(3)
+            self._box_limits = crop_kernel_box_limits(spec.net.channels)
         else:
             self._box_limits = None
 
@@ -152,13 +155,19 @@ class TwoStageServer:
             caps = capacities
             if caps is None:
                 # derive the lattice without calling policy.capacity()
-                # (which advances the shrink-hysteresis counters)
+                # (which advances the shrink-hysteresis counters); cover
+                # BOTH the window's raw want and the hysteresis-held
+                # current bucket — after a burst the policy serves at
+                # _current even when the window p99 has dipped
                 want = (self.policy._want() if self.policy.loads
                         else self.policy.warmup_capacity)
-                top = max(want, self.policy.floor) + self.policy.quantum
+                held = self.policy._current or 0
+                top = (max(want, held, self.policy.floor)
+                       + self.policy.quantum)
                 caps = list(range(self.policy.floor, top + 1,
                                   self.policy.quantum))
-            frames = jnp.zeros((B, size, size, 3), frame_dtype)
+            frames = jnp.zeros((B, size, size, self.spec.net.channels),
+                               frame_dtype)
             for cap in caps:
                 cap = int(min(cap, B * self.max_det))
                 out = self._run(frames, cap)
@@ -170,16 +179,30 @@ class TwoStageServer:
         return self.warmup_seconds
 
     def _pick_bucket(self, B: int, want: int) -> int:
-        """Clamp the policy's want to a warmed bucket for this batch size
-        (no-op when nothing was warmed for B — then we compile and count)."""
-        warmed = sorted(c for (b, c) in self.warmed if b == B)
-        if not warmed:
+        """Map the policy's want onto a compiled bucket for this batch size
+        (warmed OR already executed — a seen bucket's jit cache is just as
+        hot). Within the lattice the want rounds UP to the nearest compiled
+        bucket (``bucket_clamps``). A want ABOVE every compiled bucket is
+        clamped to the largest one by default — a multi-minute axon compile
+        mid-session is worse than bounded lowest-score keypoint drops — but
+        it is loudly counted in ``capacity_exhausted``: re-run
+        :meth:`warmup` with higher capacities to extend the lattice, or
+        construct with ``grow_past_warmed=True`` to compile the wanted
+        bucket instead (one stall, no accuracy loss)."""
+        compiled = sorted(c for (b, c) in (self.warmed | self.seen) if b == B)
+        if not compiled:
             return want
-        bigger = [c for c in warmed if c >= want]
-        cap = bigger[0] if bigger else warmed[-1]
-        if cap != want:
-            self.bucket_clamps += 1
-        return cap
+        bigger = [c for c in compiled if c >= want]
+        if bigger:
+            cap = bigger[0]
+            if cap != want:
+                self.bucket_clamps += 1
+            return cap
+        if self.grow_past_warmed:
+            return want
+        self.capacity_exhausted += 1
+        self.bucket_clamps += 1
+        return compiled[-1]
 
     # -- serving ------------------------------------------------------------
 
@@ -235,6 +258,7 @@ class TwoStageServer:
             "calls": self.calls,
             "compiles": self.compiles,
             "bucket_clamps": self.bucket_clamps,
+            "capacity_exhausted": self.capacity_exhausted,
             "warmed_buckets": sorted(self.warmed),
             "warmup_seconds": round(self.warmup_seconds, 2),
             "overflows": self.policy.overflows,

@@ -157,3 +157,17 @@ def test_overflow_tracking_and_mask():
     assert pol.overflows == 1
     pol.observe_mask(mask, capacity=128)
     assert pol.overflows == 1
+
+
+def test_warmup_headroom_obeys_shrink_patience():
+    """The warmup_capacity -> first-observation transition must not bypass
+    hysteresis: a quiet first sample may not drop the configured warmup
+    headroom in one query."""
+    pol = AdaptiveCapacity(floor=128, quantum=128, window=8,
+                           warmup_capacity=512, shrink_patience=4)
+    assert pol.capacity(128, 16) == 512          # pre-observation
+    pol.observe(50)                              # quiet first sample
+    for _ in range(pol.shrink_patience - 1):
+        assert pol.capacity(128, 16) == 512      # headroom held
+    assert pol.capacity(128, 16) == 128          # patience expired
+    assert pol.shrinks == 1

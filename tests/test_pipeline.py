@@ -239,10 +239,11 @@ def test_pipeline_crop_kernel_matches_indexed():
     scores = jnp.asarray(rng.uniform(0.1, 1, (B, K)), jnp.float32)
     mask = jnp.ones((B, K), bool)
 
-    ref = _crops_and_keypoints(kpt, frames, boxes, scores, mask, 80, 6,
-                               crop_kernel=False)
-    got = _crops_and_keypoints(kpt, frames, boxes, scores, mask, 80, 6,
-                               crop_kernel=True)
+    ref, kept_ref = _crops_and_keypoints(kpt, frames, boxes, scores, mask,
+                                         80, 6, crop_kernel=False)
+    got, kept_got = _crops_and_keypoints(kpt, frames, boxes, scores, mask,
+                                         80, 6, crop_kernel=True)
+    np.testing.assert_array_equal(np.asarray(kept_got), np.asarray(kept_ref))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
 
@@ -268,3 +269,36 @@ def test_pipeline_bf16_params():
                                  crop_capacity=cap)
         assert out.keypoints.shape == (2, 4, 7, 2)
         assert np.all(np.isfinite(np.asarray(out.keypoints, np.float32)))
+
+
+def test_overflow_dropped_keypoints_are_zero_sentinels():
+    """A dropped detection's frame-space keypoints must come out as
+    all-zeros (a detectable sentinel), NOT as 7 copies of the box's
+    top-left corner that look like plausible in-frame points."""
+    spec, yp, ys, rp, rs = _setup()
+    frames = jnp.asarray(
+        np.random.default_rng(3).uniform(0, 1, (4, 64, 64, 3)), jnp.float32
+    )
+    dense = two_stage_pipeline(
+        spec, yp, ys, rp, rs, frames,
+        conf_thresh=0.0, nms_thresh=0.25, max_det=4,
+    )
+    m = np.asarray(dense.mask)
+    n_valid = int(m.sum())
+    if n_valid < 2:
+        return
+    cap = n_valid - 1
+    comp = two_stage_pipeline(
+        spec, yp, ys, rp, rs, frames,
+        conf_thresh=0.0, nms_thresh=0.25, max_det=4, crop_capacity=cap,
+    )
+    kc = np.asarray(comp.keypoints)[m]
+    valid_scores = np.asarray(dense.scores)[m]
+    dropped = valid_scores.argsort()[0]
+    assert np.all(kc[dropped] == 0.0)
+    boxes = np.asarray(comp.boxes)[m]
+    x0y0 = boxes[dropped, 0:2]
+    assert not np.allclose(kc[dropped], np.tile(x0y0, (7, 1)), atol=1e-3)
+    # invalid slots are zero too
+    if (~m).any():
+        assert np.all(np.asarray(comp.keypoints)[~m] == 0.0)

@@ -156,3 +156,50 @@ def test_server_counts_compiles_without_warmup():
     before = srv.compiles
     srv(frames)                        # steady state: same bucket, no compile
     assert srv.compiles == before
+
+
+def test_capacity_exhausted_counted_and_grow_mode_compiles():
+    """A want above EVERY compiled bucket clamps to the largest one by
+    default and is loudly counted (capacity_exhausted); with
+    grow_past_warmed=True the server compiles the wanted bucket instead."""
+    pol = AdaptiveCapacity(floor=2, quantum=2, window=4, margin=1.0,
+                           warmup_capacity=2, shrink_patience=1)
+    srv, frames = _server(policy=pol, observe_every=10**9)
+    B = frames.shape[0]
+    srv.warmup([B], capacities=[2, 4], frame_dtype=jnp.float32)
+    for _ in range(4):
+        pol.observe(7)  # want 8 > every warmed bucket
+    srv(frames)
+    assert srv.current_capacity == 4
+    assert srv.capacity_exhausted == 1
+    assert srv.stats()["capacity_exhausted"] == 1
+    assert srv.compiles == 0
+
+    pol2 = AdaptiveCapacity(floor=2, quantum=2, window=4, margin=1.0,
+                            warmup_capacity=2, shrink_patience=1)
+    srv2, frames2 = _server(policy=pol2, observe_every=10**9)
+    srv2.grow_past_warmed = True
+    srv2.warmup([B], capacities=[2, 4], frame_dtype=jnp.float32)
+    for _ in range(4):
+        pol2.observe(7)
+    srv2(frames2)
+    assert srv2.current_capacity == 8        # grew past the lattice
+    assert srv2.capacity_exhausted == 0
+    assert srv2.compiles == 1                # one counted compile stall
+
+
+def test_pick_bucket_reuses_seen_buckets():
+    """Buckets compiled pre-warmup (in self.seen) are as hot as warmed
+    ones — the picker must use them instead of clamping below the want."""
+    pol = AdaptiveCapacity(floor=2, quantum=2, window=4, margin=1.0,
+                           warmup_capacity=8, shrink_patience=10**9)
+    srv, frames = _server(policy=pol, observe_every=10**9)
+    B = frames.shape[0]
+    srv(frames)                  # un-warmed call compiles bucket (B, 8)
+    assert (B, 8) in srv.seen and srv.compiles == 1
+    srv.warmup([B], capacities=[2, 4], frame_dtype=jnp.float32)
+    pol.observe(7)               # want 8: warmed lattice tops out at 4,
+    srv(frames)                  # but (B, 8) is already compiled
+    assert srv.current_capacity == 8
+    assert srv.compiles == 1     # no new compile
+    assert srv.capacity_exhausted == 0

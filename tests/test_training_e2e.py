@@ -266,3 +266,26 @@ def test_rektnet_driver_resume(rektnet_train_env):
     assert os.path.exists(os.path.join(out, "orbax_latest.meta"))
     rektnet_driver.main(num_epochs=4, resume=True, **kw)
     assert open(os.path.join(out, "orbax_latest.meta")).read() == "4"
+
+
+def test_study_marks_failed_trial_before_propagating(tmp_path):
+    """An objective error that is not a CalledProcessError (missing score
+    file, garbage float, Ctrl-C) must mark the trial FAIL in shared
+    storage BEFORE the exception propagates — no ghost RUNNING trial for
+    other workers to see (optuna contract)."""
+    import pytest
+
+    from mit_driverless_cv_traininginfra_tpu.hyper.search import create_study
+
+    study = create_study("sfail", storage_dir=str(tmp_path / "studies"))
+
+    def objective(trial):
+        trial.suggest_uniform("lr", 0.0, 1.0)
+        raise FileNotFoundError("logs/result.txt")
+
+    with pytest.raises(FileNotFoundError):
+        study.optimize(objective, n_trials=3)
+    trials = study.trials
+    assert len(trials) == 1
+    assert trials[0]["state"] == "FAIL"
+    assert trials[0]["params"]["lr"] is not None
