@@ -25,7 +25,7 @@ def main(argv=None) -> int:
 
     from mit_driverless_cv_traininginfra_tpu.models import rektnet
     from mit_driverless_cv_traininginfra_tpu.utils.vis import (
-        vis_hm_and_save,
+        vis_hm_strip_and_save,
         vis_tensor_and_save,
     )
 
@@ -41,7 +41,10 @@ def main(argv=None) -> int:
 
     os.makedirs(opt.output, exist_ok=True)
     name = os.path.basename(opt.img).split(".")[0]
-    vis_hm_and_save(np.asarray(hm[0]), name, output_uri=opt.output)
+    # per-keypoint vertical strip, each channel min-max normalised — the
+    # reference detect CLI's "_hm.jpg" output (detect.py:40-48), NOT the
+    # summed single map utils.vis_hm_and_save draws for the train harness
+    vis_hm_strip_and_save(np.asarray(hm[0]), name, output_uri=opt.output)
     vis_tensor_and_save(image.copy(), h, w, np.asarray(points[0]), name,
                         opt.output)
     print(f"keypoints: {np.asarray(points[0]).tolist()}")

@@ -43,12 +43,20 @@ def detect_video(spec, params, state, target_path, output_path, conf_thres,
     from mit_driverless_cv_traininginfra_tpu.infer.detect import detect_image
 
     cap = cv2.VideoCapture(target_path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video {target_path}")
     fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
     w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
     h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
     os.makedirs(output_path, exist_ok=True)
-    dest = os.path.join(output_path, "detected_" + os.path.basename(target_path))
+    # always re-encode to .mp4: mp4v fourcc into other containers fails
+    # silently (writer.write on an unopened VideoWriter is a no-op)
+    base = os.path.splitext(os.path.basename(target_path))[0]
+    dest = os.path.join(output_path, "detected_" + base + ".mp4")
     writer = cv2.VideoWriter(dest, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    if not writer.isOpened():
+        cap.release()
+        raise RuntimeError(f"cannot open video writer for {dest}")
     n = 0
     while True:
         ok, frame = cap.read()

@@ -16,7 +16,9 @@ def build_parser() -> argparse.ArgumentParser:
     def boolarg(name, default, help):
         add_bool_arg(parser, name, default, help)
 
-    parser.add_argument("--batch_size", type=int, default=8)
+    # default 7 like the reference (train.py:270) — an odd quirk of the
+    # original config surface, kept so default invocations match
+    parser.add_argument("--batch_size", type=int, default=7)
     parser.add_argument("--optimizer_pick", type=str, default="Adam",
                         choices=["Adam", "SGD"])
     parser.add_argument("--model_cfg", type=str, default="model_cfg/yolo_baseline.cfg")
@@ -55,16 +57,18 @@ def build_parser() -> argparse.ArgumentParser:
                         help="HBM budget for the device pool; with bf16 "
                              "mixed precision the pool is stored bf16 "
                              "(half the bytes)")
+    # flag names follow the reference exactly (train.py:288-296):
+    # --augment_lr_flip etc., so reference-compatible invocations work
     boolarg("augment_affine", False, "enable affine augmentation")
     boolarg("augment_hsv", False, "enable HSV jitter")
-    boolarg("lr_flip", False, "enable left-right flips")
-    boolarg("ud_flip", False, "enable up-down flips")
+    boolarg("augment_lr_flip", False, "enable left-right flips")
+    boolarg("augment_ud_flip", False, "enable up-down flips")
     boolarg("data_aug", False, "enable the full augmentation suite")
-    boolarg("blur", False, "enable gaussian blur augmentation")
-    boolarg("salt", False, "enable salt augmentation")
-    boolarg("noise", False, "enable additive gaussian noise")
-    boolarg("contrast", False, "enable sigmoid contrast")
-    boolarg("sharpen", False, "enable sharpen augmentation")
+    boolarg("augment_blur", False, "enable gaussian blur augmentation")
+    boolarg("augment_salt", False, "enable salt augmentation")
+    boolarg("augment_noise", False, "enable additive gaussian noise")
+    boolarg("augment_contrast", False, "enable sigmoid contrast")
+    boolarg("augment_sharpen", False, "enable sharpen augmentation")
     boolarg("ts", True, "enable tile-and-scale mode")
     boolarg("debug_mode", False, "batch 1, no shuffle, patch 0")
     boolarg("vanilla_anchor", False, "use the vanilla anchor list")
@@ -86,8 +90,14 @@ def main(argv=None) -> int:
     sys.stdout = Logger(os.path.join("logs", stem + ".log"))
     sys.stderr = Logger(os.path.join("logs", stem + ".error"))
 
+    # CLI keeps the reference's --augment_* names; the driver's kwargs use
+    # the bare names
+    rename = {"augment_lr_flip": "lr_flip", "augment_ud_flip": "ud_flip",
+              "augment_blur": "blur", "augment_salt": "salt",
+              "augment_noise": "noise", "augment_contrast": "contrast",
+              "augment_sharpen": "sharpen"}
     kwargs = {
-        k: v for k, v in vars(opt).items()
+        rename.get(k, k): v for k, v in vars(opt).items()
         if k not in ("upload_dataset",)
     }
     if kwargs.get("mixed_precision") is None:

@@ -5,8 +5,12 @@ Instead of checking in 600 lines of hand-written cfg, the standard YOLOv3
 YOLOv3-tiny graphs are emitted from this generator. Route indices for the
 FPN skip connections are *computed* from the emitted block list rather than
 hardcoded, so variants (different widths/depths) stay correct by
-construction. The emitted text parses with :mod:`darknet_cfg` and is
-byte-level compatible with upstream Darknet tooling.
+construction. The emitted text parses with :mod:`darknet_cfg` and with the
+reference fork's own parser (``CVC-YOLOv3/utils/parse_config.py`` — it is
+the fork's private dialect: ``filters=preyolo``, ``yolo_masks``/URI keys in
+``[net]``, bare ``[yolo]`` blocks). It is NOT consumable by upstream
+Darknet/AlexeyAB tooling, which requires ``anchors``/``mask``/``classes``
+inside ``[yolo]`` and numeric ``filters=`` everywhere.
 """
 
 from __future__ import annotations

@@ -52,16 +52,18 @@ def rektnet_params_to_state_dict(params, state):
 
     sd = {}
 
+    # np.array(..., copy=True): jax arrays expose read-only buffers, which
+    # torch.from_numpy would wrap with an undefined-behavior warning
     def put_conv(prefix, p):
-        w_oihw = np.ascontiguousarray(np.transpose(np.asarray(p["w"]), (3, 2, 0, 1)))
+        w_oihw = np.array(np.transpose(np.asarray(p["w"]), (3, 2, 0, 1)))
         sd[f"{prefix}.weight"] = torch.from_numpy(w_oihw)
-        sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(p["b"]))
+        sd[f"{prefix}.bias"] = torch.from_numpy(np.array(p["b"]))
 
     def put_bn(prefix, bn_p, bn_s):
-        sd[f"{prefix}.weight"] = torch.from_numpy(np.asarray(bn_p["scale"]))
-        sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(bn_p["bias"]))
-        sd[f"{prefix}.running_mean"] = torch.from_numpy(np.asarray(bn_s["mean"]))
-        sd[f"{prefix}.running_var"] = torch.from_numpy(np.asarray(bn_s["var"]))
+        sd[f"{prefix}.weight"] = torch.from_numpy(np.array(bn_p["scale"]))
+        sd[f"{prefix}.bias"] = torch.from_numpy(np.array(bn_p["bias"]))
+        sd[f"{prefix}.running_mean"] = torch.from_numpy(np.array(bn_s["mean"]))
+        sd[f"{prefix}.running_var"] = torch.from_numpy(np.array(bn_s["var"]))
         sd[f"{prefix}.num_batches_tracked"] = torch.zeros((), dtype=torch.int64)
 
     put_conv("conv", {"w": params["stem"]["w"], "b": params["stem"]["b"]})

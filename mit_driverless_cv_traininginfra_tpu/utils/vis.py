@@ -31,7 +31,8 @@ def visualize_and_save_to_local(img: Image.Image, labels, tmp_path: str,
             draw.rectangle((float(row[1]), float(row[2]), float(row[3]),
                             float(row[4])), outline=box_color)
     os.makedirs(os.path.dirname(tmp_path) or ".", exist_ok=True)
-    img.save(tmp_path)
+    img.save(tmp_path + ".tmp.jpg", format="JPEG")
+    os.rename(tmp_path + ".tmp.jpg", tmp_path)
 
 
 def vis_kpt_and_save(np_image, image_name: str, labels,
@@ -56,7 +57,33 @@ def vis_hm_and_save(np_heat_map, image_name: str,
     img = Image.fromarray(((summed - lo) * 255.0 / max(hi - lo, 1e-12)).astype(np.uint8))
     os.makedirs(output_uri, exist_ok=True)
     dest = os.path.join(output_uri, image_name + "_heat_map.jpg")
-    img.save(dest)
+    img.save(dest + ".tmp.jpg", format="JPEG")
+    os.rename(dest + ".tmp.jpg", dest)
+    return dest
+
+
+def heatmap_strip(np_heat_map) -> np.ndarray:
+    """The reference detect CLI's heatmap rendering (RektNet/detect.py:40-48):
+    each keypoint channel min-max normalised INDEPENDENTLY, concatenated
+    vertically into a (K·H, W) float array in [0, 1] — per-keypoint quality
+    stays inspectable, unlike the summed map."""
+    hm = np.asarray(np_heat_map, np.float64)
+    rows = []
+    for chan in hm:
+        lo, hi = chan.min(), chan.max()
+        rows.append((chan - lo) / max(hi - lo, 1e-12))
+    return np.concatenate(rows, axis=0)
+
+
+def vis_hm_strip_and_save(np_heat_map, image_name: str,
+                          output_uri: str = "outputs/visualization"):
+    """Write the per-channel heatmap strip as ``<name>_hm.jpg``
+    (RektNet/detect.py:48 ``cv2.imwrite(... + "_hm.jpg", out * 255)``)."""
+    strip = (heatmap_strip(np_heat_map) * 255.0).astype(np.uint8)
+    os.makedirs(output_uri, exist_ok=True)
+    dest = os.path.join(output_uri, image_name + "_hm.jpg")
+    Image.fromarray(strip).save(dest + ".tmp.jpg", format="JPEG")
+    os.rename(dest + ".tmp.jpg", dest)
     return dest
 
 
@@ -69,8 +96,9 @@ def vis_tensor_and_save(image, h: int, w: int, tensor_output, image_name: str,
                    KPT_COLORS[i % len(KPT_COLORS)], -1)
     os.makedirs(output_uri, exist_ok=True)
     dest = os.path.join(output_uri, image_name + "_inference.jpg")
-    if not cv2.imwrite(dest, image):
+    if not cv2.imwrite(dest + ".tmp.jpg", image):
         raise Exception("Could not write image")
+    os.rename(dest + ".tmp.jpg", dest)
     return image
 
 
@@ -99,6 +127,10 @@ def visualize_dataset(images, labels, dataset_path: str,
         else:
             img = cv2.copyMakeBorder(img, 0, 0, 0, d, cv2.BORDER_CONSTANT,
                                      value=[128, 128, 128])
+        # normalise by the PADDED square dims (the reference re-reads
+        # h, w after copyMakeBorder, utils.py:124) — pre-padding dims
+        # would stretch the keypoint chain on every non-square image
+        h, w, _ = img.shape
         norm = np.asarray(label, np.float32) / np.asarray([w, h], np.float32)
         img = cv2.resize(img, (1000, 1000))
         prev = None

@@ -63,6 +63,8 @@ def load() -> ctypes.CDLL:
         lib.cv_decode_letterbox_batch.restype = ctypes.c_int
         lib.cv_decode_jpeg.restype = ctypes.c_int
         lib.cv_decode_png.restype = ctypes.c_int
+        lib.cv_pool_threads.argtypes = []
+        lib.cv_pool_threads.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -141,8 +143,19 @@ def extract_patch(img: np.ndarray, top: int, left: int, ph: int, pw: int,
 def decode_letterbox_batch(blobs: List[bytes], dh: int, dw: int,
                            fill: int = 127, n_threads: int = 8) -> Tuple[np.ndarray, int]:
     """Decode+letterbox a batch of image blobs across the C++ thread pool.
-    Returns ((N, dh, dw, 3) uint8, n_failures)."""
+    Returns ((N, dh, dw, 3) uint8, n_failures).
+
+    The pool is sized ONCE, on its first use in the process (resizing
+    under concurrent batch calls is unsafe); a later call with a different
+    ``n_threads`` keeps the first size and warns."""
+    import warnings
+
     lib = load()
+    built = int(lib.cv_pool_threads())
+    if built and built != n_threads:
+        warnings.warn(
+            f"native thread pool was sized at first use ({built} workers); "
+            f"n_threads={n_threads} has no effect", stacklevel=2)
     data = np.frombuffer(b"".join(blobs), np.uint8)
     sizes = np.asarray([len(b) for b in blobs], np.int64)
     offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)

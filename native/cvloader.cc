@@ -96,11 +96,19 @@ class ThreadPool {
 };
 
 ThreadPool* g_pool = nullptr;
+int g_pool_threads = 0;
 std::mutex g_pool_mu;
 
+// The pool is sized ONCE, on first use (resizing under concurrent batch
+// calls would tear workers out from under them); later calls with a
+// different n_threads keep the first size. cv_pool_threads() reports the
+// actual size so bindings can surface the mismatch.
 ThreadPool& pool(int n_threads) {
   std::lock_guard<std::mutex> lk(g_pool_mu);
-  if (!g_pool) g_pool = new ThreadPool(n_threads > 0 ? n_threads : 8);
+  if (!g_pool) {
+    g_pool_threads = n_threads > 0 ? n_threads : 8;
+    g_pool = new ThreadPool(g_pool_threads);
+  }
   return *g_pool;
 }
 
@@ -116,6 +124,12 @@ void jpeg_error_exit(j_common_ptr cinfo) {
 }  // namespace
 
 void cv_init_pool(int n_threads) { pool(n_threads); }
+
+// Actual worker count of the (first-use-sized) global pool; 0 if unbuilt.
+int cv_pool_threads() {
+  std::lock_guard<std::mutex> lk(g_pool_mu);
+  return g_pool_threads;
+}
 
 // Probe image dimensions without decoding pixel data.
 int cv_probe(const uint8_t* data, long size, int* out_h, int* out_w) {
@@ -215,6 +229,12 @@ namespace {
 
 inline void bilinear_resize(const uint8_t* src, int sh, int sw, uint8_t* dst,
                             int dh, int dw) {
+  if (sh <= 0 || sw <= 0) {
+    // empty source: nothing to sample — the border clamp below would
+    // otherwise resolve to index -1 (out-of-bounds read)
+    if (dh > 0 && dw > 0) memset(dst, 0, static_cast<size_t>(dh) * dw * 3);
+    return;
+  }
   // half-pixel-centre sampling, border clamp = cv2.INTER_LINEAR
   const float ry = static_cast<float>(sh) / dh;
   const float rx = static_cast<float>(sw) / dw;
@@ -259,10 +279,22 @@ void cv_letterbox(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
     pad_h = static_cast<int>((new_h - sh) / 2);
   }
   const int ph = sh + 2 * pad_h, pw = sw + 2 * pad_w;
+  if (ph <= 0 || pw <= 0 || sh <= 0 || sw <= 0) {
+    if (dh > 0 && dw > 0) memset(dst, fill, static_cast<size_t>(dh) * dw * 3);
+    return;
+  }
   std::vector<uint8_t> padded(static_cast<size_t>(ph) * pw * 3, fill);
-  for (int i = 0; i < sh; ++i) {
-    memcpy(&padded[(static_cast<size_t>(i + pad_h) * pw + pad_w) * 3],
-           src + static_cast<size_t>(i) * sw * 3, static_cast<size_t>(sw) * 3);
+  // paste the source at (pad_h, pad_w) copying only the intersection with
+  // the canvas: for aspect-mismatched non-square targets the pads are
+  // NEGATIVE (PIL paste crops there) and a raw memcpy at a negative
+  // offset would write before the buffer — heap corruption
+  const int y_lo = std::max(0, pad_h), y_hi = std::min(ph, sh + pad_h);
+  const int x_lo = std::max(0, pad_w), x_hi = std::min(pw, sw + pad_w);
+  const int row_bytes = (x_hi - x_lo) * 3;
+  for (int y = y_lo; y < y_hi && row_bytes > 0; ++y) {
+    memcpy(&padded[(static_cast<size_t>(y) * pw + x_lo) * 3],
+           src + (static_cast<size_t>(y - pad_h) * sw + (x_lo - pad_w)) * 3,
+           static_cast<size_t>(row_bytes));
   }
   bilinear_resize(padded.data(), ph, pw, dst, dh, dw);
 }

@@ -125,3 +125,59 @@ def test_decode_seam_is_native_and_pil_identical(tmp_path):
         np.testing.assert_array_equal(nat, pil)
         bgr = decode.imread_bgr(p)
         np.testing.assert_array_equal(bgr, pil[..., ::-1])
+
+
+def test_letterbox_negative_padding_matches_python_paste():
+    """Aspect-mismatched non-square targets give NEGATIIVE pads
+    (calculate_padding semantics): the C++ paste must crop like PIL, not
+    memcpy at a negative offset (regression: heap corruption)."""
+    native = pytest.importorskip("native")
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 255, (100, 100, 3), np.uint8)
+    dh, dw = 416, 208
+    got = native.letterbox(src, dh, dw)
+    # python twin: grey canvas + intersection paste + native resize
+    from mit_driverless_cv_traininginfra_tpu.ops.boxes import (
+        calculate_padding,
+    )
+
+    pad_h, pad_w, _ = calculate_padding(100, 100, dh, dw)
+    ph, pw = 100 + 2 * pad_h, 100 + 2 * pad_w
+    canvas = np.full((ph, pw, 3), 127, np.uint8)
+    y0, x0 = max(0, pad_h), max(0, pad_w)
+    y1, x1 = min(ph, 100 + pad_h), min(pw, 100 + pad_w)
+    canvas[y0:y1, x0:x1] = src[y0 - pad_h:y1 - pad_h, x0 - pad_w:x1 - pad_w]
+    want = native.resize(canvas, dh, dw)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_letterbox_and_resize_empty_source_safe():
+    """Zero-dimension sources must not read out of bounds."""
+    native = pytest.importorskip("native")
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    empty = np.zeros((0, 64, 3), np.uint8)
+    lb = native.letterbox(empty, 80, 80)
+    assert lb.shape == (80, 80, 3) and (lb == 127).all()
+    rs = native.resize(empty, 32, 32)
+    assert rs.shape == (32, 32, 3) and (rs == 0).all()
+
+
+def test_pool_size_mismatch_warns():
+    native = pytest.importorskip("native")
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    blob = None
+    from PIL import Image
+    import io
+
+    buf = io.BytesIO()
+    Image.new("RGB", (16, 16), (1, 2, 3)).save(buf, "JPEG")
+    blob = buf.getvalue()
+    native.decode_letterbox_batch([blob], 32, 32, n_threads=2)  # sizes pool
+    built = int(native.load().cv_pool_threads())
+    assert built > 0
+    with pytest.warns(UserWarning, match="sized at first use"):
+        native.decode_letterbox_batch([blob], 32, 32, n_threads=built + 1)
