@@ -38,22 +38,13 @@ BASELINE_FPS = 2000.0
 CKPT = os.path.expanduser("~/.cache/mdcv_bench/ckpt_v1.npz")
 
 
-def _sync(*outs):
-    # NOTE: through the axon tunnel, block_until_ready() returns before
-    # the computation finishes; a device→host scalar read is the only
-    # reliable fence.
-    return sum(float(jnp.sum(o)) for o in outs)
-
-
-def _time_ms(fn, fence, iters):
-    """Steady-state per-call ms: `iters` chained runs under one fence."""
-    out = fn()
-    _sync(fence(out))  # warmup / compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    _sync(fence(out))
-    return (time.perf_counter() - t0) * 1000 / iters
+# canonical fence + chained timing (utils/profiling): block_until_ready is
+# a no-op through the axon tunnel, and short chains measure dispatch, not
+# the chip — one implementation, shared with the tools/ benches
+from mit_driverless_cv_traininginfra_tpu.utils.profiling import (  # noqa: E402
+    fence as _sync,
+    time_ms as _time_ms,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -76,8 +67,17 @@ def _load_trees(path, like):
     for t in like:
         leaves, treedef = jax.tree_util.tree_flatten(t)
         n = len(leaves)
+        got = arrs[i:i + n]
+        # shape-check every leaf against the live spec: a stale ckpt with
+        # the right leaf COUNT but wrong shapes (model/spec edit without a
+        # ckpt version bump) must trigger the retrain fallback here, not a
+        # confusing conv shape error minutes into the benched compile
+        for want, have in zip(leaves, got):
+            if tuple(np.shape(want)) != tuple(have.shape):
+                raise ValueError(
+                    f"cached leaf shape {have.shape} != spec {np.shape(want)}")
         out.append(jax.tree_util.tree_unflatten(
-            treedef, [jnp.asarray(a) for a in arrs[i:i + n]]))
+            treedef, [jnp.asarray(a) for a in got]))
         i += n
     return out
 
@@ -126,7 +126,10 @@ def _train_synthetic(spec, steps_yolo=400, steps_rekt=400):
                   file=sys.stderr)
     params, state = ts.params, ts.model_state
 
-    # --- RektNet: synthetic crops, on-device heatmap targets --------------
+    # --- RektNet: synthetic crops, point-supervised -----------------------
+    # loss_type='l1_softargmax' reads only the soft-argmax points; the
+    # on-device gaussian heatmap targets (synth_target_sigma) are traced
+    # but DCE'd by XLA under this loss — they matter only for l2_heatmap
     crop_i, crop_p = rektnet_batch(rng, 512)
     crop_i = jnp.asarray(crop_i)
     crop_p = jnp.asarray(crop_p)
@@ -329,6 +332,12 @@ def main():
     dt = time.perf_counter() - t0
     fps = batch * iters / dt
 
+    # whether the Pallas crop ACTUALLY ran in the timed e2e: with
+    # capacity >= batch*max_det the pipeline takes the dense path and the
+    # kernel flag is inert — report what executed, not what was requested
+    kernel_active = bool(use_crop_kernel and crop_cap[0] is not None
+                         and crop_cap[0] < batch * max_det)
+
     # analytic achieved-compute rate (conv MACs only, serving graph)
     yolo_gf = conv_graph_flops(spec) / 1e9
     crops_per_frame = (crop_cap[0] / batch if crop_cap[0] is not None
@@ -351,7 +360,7 @@ def main():
         "max_det": max_det,
         "crop_capacity": crop_cap[0],
         "cap_margin": cap_margin,
-        "crop_kernel": use_crop_kernel,
+        "crop_kernel": kernel_active,
     }
 
     if on_tpu:
@@ -377,13 +386,24 @@ def main():
             kpt_fn = jax.jit(lambda c: rektnet.apply_folded(rp_c, c)[1])
         post_fn = jax.jit(lambda d: _postprocess(d, conf_thresh, 0.25,
                                                  max_det))
-        from mit_driverless_cv_traininginfra_tpu.ops.image import (
-            roi_crop_bilinear_indexed,
-        )
-
         C = crop_cap[0]
-        crop_fn = jax.jit(
-            lambda f, b, i: roi_crop_bilinear_indexed(f, b, i, 80, 80))
+        # time the SAME crop op the e2e configuration executed — a
+        # breakdown over the XLA indexed crop while the headline ran the
+        # Pallas windowed crop would misattribute ~30-55% of crop cost
+        if kernel_active:
+            from mit_driverless_cv_traininginfra_tpu.ops.pallas_crop import (
+                roi_crop_windowed,
+            )
+
+            crop_fn = jax.jit(
+                lambda f, b, i: roi_crop_windowed(f, b, i, 80, 80))
+        else:
+            from mit_driverless_cv_traininginfra_tpu.ops.image import (
+                roi_crop_bilinear_indexed,
+            )
+
+            crop_fn = jax.jit(
+                lambda f, b, i: roi_crop_bilinear_indexed(f, b, i, 80, 80))
 
         dets = det_fn(frames)
         boxes, scores, mask = post_fn(dets)

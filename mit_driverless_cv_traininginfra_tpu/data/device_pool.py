@@ -85,7 +85,12 @@ class DevicePool:
                 f"device pool would need {est/1e9:.2f} GB "
                 f"(> budget {budget_bytes/1e9:.2f} GB); lower `num`, raise "
                 "budget_bytes, or use dtype=bfloat16")
-        images = np.empty((n,) + np.asarray(img0).shape, np.float32)
+        # stage on the host in the TARGET dtype: staging bf16 pools as f32
+        # would transiently need (and ship to device) 2× budget_bytes —
+        # the guard above models only the final footprint. numpy handles
+        # ml_dtypes.bfloat16 natively via jnp.dtype.
+        host_dtype = jnp.dtype(dtype).type
+        images = np.empty((n,) + np.asarray(img0).shape, host_dtype)
         labels = np.empty((n,) + np.asarray(lab0).shape, np.float32)
         uris = []
         images[0], labels[0] = img0, lab0

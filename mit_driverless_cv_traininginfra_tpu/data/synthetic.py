@@ -129,10 +129,18 @@ def cone_scene(rng, size: int = 416, max_cones: int = 8,
         else:
             continue  # couldn't place separably; skip this cone
         body, band = _CONE_COLORS[int(rng.integers(len(_CONE_COLORS)))]
+        # apply the min-size gate BEFORE rasterising (the box is analytic,
+        # _draw_cone returns exactly this clip): a cone that fails the
+        # filter must not be painted either — visible unlabeled cone
+        # pixels would be label noise against the no-object conf target
+        pre = (max(cx - half_w, 0.0), max(base_y - h, 0.0),
+               min(cx + half_w, size - 1.0), min(base_y, size - 1.0))
+        if not ((pre[2] - pre[0]) > 4 and (pre[3] - pre[1]) > 6):
+            continue
         box = _draw_cone(img, cx, base_y, h, half_w,
                          np.asarray(body, np.float32),
                          np.asarray(band, np.float32))
-        if box is not None and (box[2] - box[0]) > 4 and (box[3] - box[1]) > 6:
+        if box is not None:
             boxes.append(box)
     return img, np.asarray(boxes, np.float32).reshape(-1, 4)
 

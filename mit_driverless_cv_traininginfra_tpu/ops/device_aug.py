@@ -108,7 +108,13 @@ def _warp_bilinear(images, M_inv, fill: float = GREY):
 def _affine_labels_batch(labels, M, angles, h: int, w: int):
     """jax port of the reference label rewarp (utils/datasets.py:317-382):
     warp all 4 corners through M, take the enclosing box, apply the
-    angle-based shrink, clamp, keep only non-degenerate boxes.
+    angle-based shrink, clamp, update only non-degenerate boxes.
+
+    Reference quirk (same as data/augment.affine_labels): boxes that FAIL
+    the degeneracy filter are retained at their PRE-warp coordinates
+    (``jnp.where(keep, boxes, pts)`` mirrors the reference's
+    ``targets[i, 1:5] = xy[i]`` for survivors only) — a warped-out box
+    keeps pointing at where the object was. Don't "fix" to zero rows.
 
     labels: (B, T, 5) [c, x1, y1, x2, y2] in pixels; zero rows preserved."""
     B, T, _ = labels.shape

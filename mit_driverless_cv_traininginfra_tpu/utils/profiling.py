@@ -30,6 +30,38 @@ def trace(logdir: str = "outputs/profile"):
         jax.profiler.stop_trace()
 
 
+def fence(*outs) -> float:
+    """Device→host scalar read over ``outs`` — the ONLY reliable execution
+    fence on this toolchain (``block_until_ready`` is a no-op through the
+    axon tunnel; CLAUDE.md measurement rules). Returns the summed scalar so
+    callers can also use it as a cheap nan/activity probe."""
+    import jax.numpy as jnp
+
+    return sum(float(jnp.sum(o)) for o in outs)
+
+
+def time_ms(fn, fence_fn, iters: int = 32) -> float:
+    """Steady-state per-call milliseconds: one warmup call (compile), then
+    ``iters`` CHAINED calls under a single :func:`fence`.
+
+    ``iters`` defaults to 32 — the measurement rule (PERF.md): per-call
+    dispatch through the axon tunnel is ~0.4-1.4 ms and only pipelines
+    away at chain depth ≫8, so depth-10 timings of sub-5 ms ops are
+    inflated 2-3 ms. Don't lower it for "quick" numbers.
+
+    ``fence_fn(out)`` must map the call's output to an array (or tuple of
+    arrays) whose values depend on the full computation."""
+    out = fn()
+    f = fence_fn(out)
+    fence(*(f if isinstance(f, tuple) else (f,)))  # warmup / compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    f = fence_fn(out)
+    fence(*(f if isinstance(f, tuple) else (f,)))
+    return (time.perf_counter() - t0) * 1000 / iters
+
+
 class StepTimer:
     def __init__(self, sync_every: int = 50, ema: float = 0.9):
         self.sync_every = sync_every

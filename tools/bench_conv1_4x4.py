@@ -29,18 +29,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _sync(x):
-    return float(jnp.sum(x.astype(jnp.float32)))
+# canonical chained timing (utils/profiling.time_ms, default depth 32):
+# this tool's old local copy chained only 10 calls, the exact depth-10
+# methodology PERF.md documents as inflated 2-3 ms for sub-5 ms stages
+from mit_driverless_cv_traininginfra_tpu.utils.profiling import time_ms
 
 
-def _time_ms(fn, iters=10):
-    out = fn()
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    _sync(out)
-    return (time.perf_counter() - t0) * 1000 / iters
+def _time_ms(fn, iters=32):
+    return time_ms(fn, lambda o: o.astype(jnp.float32), iters)
 
 
 def conv1_4x4_weights(folded_params):
@@ -73,7 +69,7 @@ def main():
     from mit_driverless_cv_traininginfra_tpu.models.stem_opt import (
         build_packed_stem, pack_input, slice_preyolo,
     )
-    from mit_driverless_cv_traininginfra_tpu.ops.pallas_entry import conv1p_q8
+    from mit_driverless_cv_traininginfra_tpu.models.quantize import _qconv
 
     batch = 128
     spec = flagship_spec(416)
@@ -132,9 +128,18 @@ def main():
 
     v4b = jax.jit(v4b_)
 
-    old = jax.jit(lambda f: conv1p_q8(f, stem_q, slope))
+    # baseline: the packed-stem conv1 stage exactly as the int8 serving
+    # graph runs it (forward_features_int8's packed_stem_q path), with the
+    # same conv2-input requant tail as the 4×4 variants
+    def old_(f):
+        h = _qconv(pack_input(f), stem_q["c1"], 1, 1, jnp.bfloat16)
+        h = jnp.where(h >= 0, h, h * slope)
+        return jnp.clip(jnp.round(h.astype(jnp.float32) * sx2_inv),
+                        -127, 127).astype(jnp.int8)
 
-    print(f"old packed conv1p_q8 : {_time_ms(lambda: old(frames)):8.2f} ms/batch")
+    old = jax.jit(old_)
+
+    print(f"old packed conv1p    : {_time_ms(lambda: old(frames)):8.2f} ms/batch")
     print(f"new 4x4s2 int8       : {_time_ms(lambda: v4(frames)):8.2f} ms/batch")
     print(f"new 4x4s2 bf16       : {_time_ms(lambda: v4b(frames)):8.2f} ms/batch")
 

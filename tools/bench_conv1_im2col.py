@@ -24,18 +24,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _sync(x):
-    return float(jnp.sum(x.astype(jnp.float32)))
+# canonical chained timing (utils/profiling.time_ms, depth 32): the old
+# local copy chained 10 calls — the depth-10 methodology PERF.md documents
+# as inflated 2-3 ms for sub-5 ms stages
+from mit_driverless_cv_traininginfra_tpu.utils.profiling import time_ms
 
 
-def _time_ms(fn, iters=10):
-    out = fn()
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    _sync(out)
-    return (time.perf_counter() - t0) * 1000 / iters
+def _time_ms(fn, iters=32):
+    return time_ms(fn, lambda o: o.astype(jnp.float32), iters)
 
 
 def main():
@@ -50,9 +46,9 @@ def main():
         calibrate, quantize_packed_stem, quantize_params,
     )
     from mit_driverless_cv_traininginfra_tpu.models.stem_opt import (
-        build_packed_stem, slice_preyolo,
+        build_packed_stem, pack_input, slice_preyolo,
     )
-    from mit_driverless_cv_traininginfra_tpu.ops.pallas_entry import conv1p_q8
+    from mit_driverless_cv_traininginfra_tpu.models.quantize import _qconv
 
     batch = 128
     spec = flagship_spec(416)
@@ -101,9 +97,18 @@ def main():
                         -127, 127).astype(jnp.int8)
 
     v5 = jax.jit(im2col_fn)
-    old = jax.jit(lambda f: conv1p_q8(f, stem_q, slope))
 
-    print(f"old packed conv1p_q8 : {_time_ms(lambda: old(frames)):8.2f} ms/batch")
+    # baseline: the packed-stem conv1 stage as the int8 serving graph runs
+    # it, with the same conv2-input requant tail as the im2col variant
+    def old_(f):
+        h = _qconv(pack_input(f), stem_q["c1"], 1, 1, jnp.bfloat16)
+        h = jnp.where(h >= 0, h, h * slope)
+        return jnp.clip(jnp.round(h.astype(jnp.float32) * sx2_inv),
+                        -127, 127).astype(jnp.int8)
+
+    old = jax.jit(old_)
+
+    print(f"old packed conv1p    : {_time_ms(lambda: old(frames)):8.2f} ms/batch")
     print(f"im2col+matmul int8   : {_time_ms(lambda: v5(frames)):8.2f} ms/batch")
 
     ha = np.asarray(old(frames[:2]), np.int32)

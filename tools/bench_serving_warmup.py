@@ -111,8 +111,10 @@ def main():
     srv.warmup([B], capacities=[256, 384, 512])
     warmup_s = time.perf_counter() - t0
 
-    # 3) steady state (chain 32 under one fence)
-    out = srv(frames)
+    # 3) steady state (chain 32 under one fence); fence the priming call
+    # BEFORE starting the clock or its in-flight work leaks into the
+    # timed window (~one call, ~3% at depth 32)
+    fence(srv(frames))
     t0 = time.perf_counter()
     for _ in range(32):
         out = srv(frames)

@@ -31,18 +31,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _sync(x):
-    return float(jnp.sum(x.astype(jnp.float32)))
+# canonical chained timing (utils/profiling.time_ms, default depth 32):
+# this tool's old local copy chained only 10 calls, the exact depth-10
+# methodology PERF.md documents as inflated 2-3 ms for sub-5 ms stages
+from mit_driverless_cv_traininginfra_tpu.utils.profiling import time_ms
 
 
-def _time_ms(fn, iters=10):
-    out = fn()
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    _sync(out)
-    return (time.perf_counter() - t0) * 1000 / iters
+def _time_ms(fn, iters=32):
+    return time_ms(fn, lambda o: o.astype(jnp.float32), iters)
 
 
 def main():

@@ -180,9 +180,13 @@ def main():
         np.stack([rng.uniform(10, 200, C2), rng.uniform(10, 200, C2),
                   rng.uniform(210, 400, C2), rng.uniform(210, 400, C2)],
                  axis=1), jnp.float32)
-    f_cur = jax.jit(lambda: roi_crop_bilinear_indexed(
-        frames4, boxes, fidx2, 80, 80))
-    print(f"P22 current indexed crop: {_time_ms(f_cur):8.3f} ms")
+    # jit over ARGUMENTS: a zero-arg closure bakes the inputs in as
+    # constants and XLA can fold the whole gather at compile time,
+    # leaving a dispatch-only "measurement"
+    f_cur = jax.jit(lambda fr, bx, fi: roi_crop_bilinear_indexed(
+        fr, bx, fi, 80, 80))
+    print(f"P22 current indexed crop: "
+          f"{_time_ms(lambda: f_cur(frames4, boxes, fidx2)):8.3f} ms")
 
 
 if __name__ == "__main__":

@@ -29,7 +29,9 @@ def _sync(x):
     return float(jnp.sum(x.astype(jnp.float32)))
 
 
-def _time_ms(fn, iters=10):
+def _time_ms(fn, iters=32):
+    # depth 32, not 10: sub-5 ms ops at depth 10 are inflated 2-3 ms by
+    # axon dispatch gaps (PERF.md measurement discipline)
     out = fn()
     _sync(out if isinstance(out, jnp.ndarray) else out[0])
     t0 = time.perf_counter()

@@ -6,7 +6,7 @@ an analytic FLOP + HBM-traffic account per stage — to classify each stage
 as MXU-bound or bandwidth-bound (the round-2 question: detect measures
 ~207 effective int8 TOPS of a ~394 peak; is the gap schedule or HBM?).
 
-Usage:  python tools/profile_detect.py [--batch 128] [--iters 10]
+Usage:  python tools/profile_detect.py [--batch 128] [--iters 32]
 Writes a table to stdout; run it on the TPU (falls back to CPU but the
 numbers are then meaningless).
 """
@@ -139,7 +139,7 @@ def main():
     )
 
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 128
-    iters = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else 10
+    iters = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else 32
 
     spec = flagship_spec(416)
     params, state, _, _ = bench_mod._train_synthetic(spec)

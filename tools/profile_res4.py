@@ -96,7 +96,7 @@ def main():
             for dx in range(3):
                 sl = jax.lax.slice(
                     xp, (0, 2 * dy, 2 * dx, 0),
-                    (C, 2 * dy + 80, 2 * dx + 80, 64))
+                    (x.shape[0], 2 * dy + 80, 2 * dx + 80, 64))
                 t = jax.lax.dot_general(
                     sl, wt[dy * 3 + dx], (((3,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)

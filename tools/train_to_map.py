@@ -99,6 +99,13 @@ def main():
     tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(lr_fn))
     ts = init_train_state(params, state, tx)
 
+    # warmup step OUTSIDE the clock: the cold jit compile takes minutes
+    # through the axon tunnel and would halve the reported imgs/sec
+    ts, w_loss, _ = yolo_train_step(spec, tx, ts, pool_i[:args.batch],
+                                    pool_t[:args.batch],
+                                    compute_dtype="bfloat16")
+    float(w_loss)  # fence
+
     t0 = time.perf_counter()
     loss = None
     for step in range(args.steps):
@@ -200,6 +207,14 @@ def rektnet_main(args):
     tx = optax.adam(lr_fn)
     ts = init_train_state(params, state, tx)
     dummy = jnp.zeros((1,), jnp.float32)
+
+    # warmup step outside the clock (same compile-leak rationale as yolo)
+    ts, w_total, _, _ = rektnet_train_step(
+        tx, ts, pool_i[:batch], dummy, pool_p[:batch],
+        loss_type="l1_softargmax", include_geo=True,
+        geo_loss_gamma_horz=0.05, geo_loss_gamma_vert=0.05,
+        compute_dtype="bfloat16", synth_target_sigma=1.0)
+    float(w_total)  # fence
 
     t0 = time.perf_counter()
     total = None
