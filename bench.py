@@ -281,7 +281,12 @@ def main():
             quantize_entry,
         )
 
-        entry_q = (quantize_entry(folded, amax)
+        # --conv1 bf16: the 4×4 conv1 stage is layout-bound, not MXU-bound
+        # (tools/bench_conv1_4x4.py: bf16 5.26 vs int8 5.78 ms/batch) —
+        # measure-then-adopt experiment flag
+        conv1_dtype = (sys.argv[sys.argv.index("--conv1") + 1]
+                       if "--conv1" in sys.argv else "int8")
+        entry_q = (quantize_entry(folded, amax, conv1_dtype=conv1_dtype)
                    if entry_block_applicable(spec)
                    and "--no-entry-kernel" not in sys.argv else None)
 

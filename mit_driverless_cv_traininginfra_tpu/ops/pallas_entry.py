@@ -126,25 +126,40 @@ def build_conv1_4x4(folded_params) -> Dict[str, np.ndarray]:
     return {"w": w4, "b": np.concatenate([b1] * 4)}
 
 
-def quantize_entry(folded_params, amax: Dict[str, float]):
+def quantize_entry(folded_params, amax: Dict[str, float],
+                   conv1_dtype: str = "int8"):
     """Quantized parameter bundle for the fused entry path.
 
     amax: calibration dict from models.quantize.calibrate — keys '0'..'3'
     are the conv input absmaxes of blocks 0-3, '5' is block 5's (the
-    requant scale of the kernel's resq output)."""
+    requant scale of the kernel's resq output).
+
+    ``conv1_dtype``: 'int8' (default) quantizes the 4×4 conv1 weights;
+    'bf16' stores them bf16 and conv1 runs as a bf16 conv (the stage is
+    LAYOUT-bound, not MXU-bound, and int8 buys nothing on 3-channel
+    input — tools/bench_conv1_4x4.py measures bf16 5.26 vs int8 5.78
+    ms/batch standalone). The consumer dispatches on the bundle keys, so
+    no API threading; both modes emit the same int8 hq for conv2p."""
     c4 = build_conv1_4x4(folded_params)
     w4, b4 = c4["w"], c4["b"]
     s_w = np.maximum(np.abs(w4).max(axis=(0, 1, 2)) / 127.0, 1e-12)
     sx = {k: max(float(amax[k]), 1e-12) / 127.0 for k in ("0", "1", "2",
                                                           "3", "5")}
-    ep = {
-        "c1_wq": jnp.asarray(np.clip(np.round(w4 / s_w), -127, 127),
-                             jnp.int8),
-        "c1_scale": jnp.asarray(sx["0"] * s_w, jnp.float32),
-        "c1_b": jnp.asarray(b4, jnp.float32),
-        "c1_sx_inv": jnp.float32(1.0 / sx["0"]),
-        "hq_sx_inv": jnp.float32(1.0 / sx["1"]),
-    }
+    if conv1_dtype == "bf16":
+        ep = {
+            "c1_wb": jnp.asarray(w4, jnp.bfloat16),
+            "c1_b": jnp.asarray(b4, jnp.float32),
+            "hq_sx_inv": jnp.float32(1.0 / sx["1"]),
+        }
+    else:
+        ep = {
+            "c1_wq": jnp.asarray(np.clip(np.round(w4 / s_w), -127, 127),
+                                 jnp.int8),
+            "c1_scale": jnp.asarray(sx["0"] * s_w, jnp.float32),
+            "c1_b": jnp.asarray(b4, jnp.float32),
+            "c1_sx_inv": jnp.float32(1.0 / sx["0"]),
+            "hq_sx_inv": jnp.float32(1.0 / sx["1"]),
+        }
 
     def q(w):
         w = np.asarray(w, np.float32)
@@ -187,15 +202,27 @@ def quantize_entry(folded_params, amax: Dict[str, float]):
 
 
 def conv1_4x4_q8(frames, ep, leaky_slope: float):
-    """frames (B,H,W,3) [0,1] → hq (B,H/2,W/2,128) int8 (requant fused)."""
-    xq = jnp.clip(jnp.round(frames.astype(jnp.float32) * ep["c1_sx_inv"]),
-                  -127, 127).astype(jnp.int8)
-    acc = jax.lax.conv_general_dilated(
-        xq, ep["c1_wq"], (2, 2), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32)
-    h = (acc.astype(jnp.float32) * ep["c1_scale"]
-         + ep["c1_b"]).astype(jnp.bfloat16)
+    """frames (B,H,W,3) [0,1] → hq (B,H/2,W/2,128) int8 (requant fused).
+
+    Dispatches on the bundle: ``c1_wb`` present → bf16 conv (the layout-
+    bound variant quantize_entry(conv1_dtype='bf16') builds), else the
+    int8 conv with on-the-fly input quantization."""
+    if "c1_wb" in ep:
+        acc = jax.lax.conv_general_dilated(
+            frames.astype(jnp.bfloat16), ep["c1_wb"], (2, 2),
+            [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        h = (acc + ep["c1_b"]).astype(jnp.bfloat16)
+    else:
+        xq = jnp.clip(jnp.round(frames.astype(jnp.float32) * ep["c1_sx_inv"]),
+                      -127, 127).astype(jnp.int8)
+        acc = jax.lax.conv_general_dilated(
+            xq, ep["c1_wq"], (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        h = (acc.astype(jnp.float32) * ep["c1_scale"]
+             + ep["c1_b"]).astype(jnp.bfloat16)
     h = jnp.where(h >= 0, h, h * leaky_slope)
     return jnp.clip(jnp.round(h.astype(jnp.float32) * ep["hq_sx_inv"]),
                     -127, 127).astype(jnp.int8)

@@ -233,3 +233,40 @@ def test_applicability_validates_block5(tmp_path):
     cfg.write_text(bad)
     spec = load_network_spec(str(cfg), vanilla_anchor=True)
     assert not entry_block_applicable(spec)
+
+
+def test_quantize_entry_bf16_conv1_variant(tmp_path):
+    """conv1_dtype='bf16' (layout-bound stage; int8 buys nothing on
+    3-channel input) must emit the same int8 hq stream within ±1 step of
+    the int8 conv1. Kept CPU-only: mixing the bf16 conv with downstream
+    int8 convs hangs the remote TPU compile (PERF.md dead ends) — the
+    flag waits on a toolchain fix."""
+    import tempfile
+
+    from mit_driverless_cv_traininginfra_tpu.config import load_network_spec
+    from mit_driverless_cv_traininginfra_tpu.models.darknet import (
+        fold_bn,
+        init_params,
+    )
+    from mit_driverless_cv_traininginfra_tpu.models.quantize import calibrate
+    from mit_driverless_cv_traininginfra_tpu.ops.pallas_entry import (
+        conv1_4x4_q8,
+        quantize_entry,
+    )
+
+    cfg = tmp_path / "entry.cfg"
+    cfg.write_text(ENTRY_CFG)
+    spec = load_network_spec(str(cfg), vanilla_anchor=True)
+    p, s = init_params(spec, jax.random.PRNGKey(0))
+    folded = fold_bn(p, s, spec)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 64, 64, 3)),
+                    jnp.float32)
+    amax = calibrate(spec, folded, x)
+    hq_i = np.asarray(conv1_4x4_q8(x, quantize_entry(folded, amax),
+                                   spec.net.leaky_slope), np.int32)
+    eq_b = quantize_entry(folded, amax, conv1_dtype="bf16")
+    assert "c1_wb" in eq_b and "c1_wq" not in eq_b
+    hq_b = np.asarray(conv1_4x4_q8(x, eq_b, spec.net.leaky_slope), np.int32)
+    assert hq_b.shape == hq_i.shape
+    assert np.abs(hq_b - hq_i).max() <= 1
+    assert (hq_b == hq_i).mean() > 0.85
