@@ -1,0 +1,292 @@
+"""Production serving CLI: warmed TwoStageServer over a video or image dir.
+
+The reference deploys its two models as hand-chained TensorRT engines on
+the vehicle (README.md:59) and ships no serving runtime. This CLI is that
+runtime for the TPU stack: it loads both models, applies the serving-graph
+passes (head slice + packed stem), optionally PTQ-quantizes to int8
+calibrated on the stream's own leading frames, **precompiles the
+(batch, capacity) bucket lattice** (`TwoStageServer.warmup` — nothing
+compiles on the serving path afterwards), then streams the source through
+in fixed batches. A short final batch exercises the zero-pad batch bucket
+instead of a new jit compile. Detections + 7 keypoints per cone are
+written as CSV in source-pixel coordinates; the run ends with a JSON
+summary (fps + every server counter).
+
+Usage::
+
+    python -m mit_driverless_cv_traininginfra_tpu.cli.serve \
+        --source track.mp4 --yolo_weights best.weights \
+        --rektnet_weights best.pt --precision int8 --batch_size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from mit_driverless_cv_traininginfra_tpu.utils.logger import add_bool_arg
+
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+VID_EXTS = (".mp4", ".avi", ".mov", ".mkv")
+
+
+def _iter_source(source: str):
+    """Yield (frame_idx, RGB uint8 HxWx3) from a video file or image dir."""
+    ext = os.path.splitext(source)[1].lower()
+    if ext in VID_EXTS:
+        import cv2
+
+        cap = cv2.VideoCapture(source)
+        if not cap.isOpened():
+            raise IOError(f"cannot open video {source}")
+        i = 0
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                yield i, cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                i += 1
+        finally:
+            cap.release()
+        return
+    if os.path.isdir(source):
+        from PIL import Image
+
+        names = sorted(n for n in os.listdir(source)
+                       if os.path.splitext(n)[1].lower() in IMG_EXTS)
+        if not names:
+            raise IOError(f"no images ({'/'.join(IMG_EXTS)}) in {source}")
+        for i, n in enumerate(names):
+            yield i, np.asarray(
+                Image.open(os.path.join(source, n)).convert("RGB"))
+        return
+    raise IOError(f"--source must be a video file or an image directory, "
+                  f"got {source}")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="warmed two-stage serving over a video/image stream")
+    parser.add_argument("--source", type=str, required=True,
+                        help="video file or image directory")
+    parser.add_argument("--model_cfg", type=str,
+                        default="model_cfg/yolo_baseline.cfg")
+    parser.add_argument("--yolo_weights", type=str, required=True)
+    parser.add_argument("--rektnet_weights", type=str, required=True,
+                        help="RektNet .pt checkpoint")
+    parser.add_argument("--precision", choices=("int8", "bf16", "f32"),
+                        default="int8",
+                        help="serving precision (int8 calibrates PTQ on the "
+                             "stream's first frames)")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--conf_thres", type=float, default=0.8)
+    parser.add_argument("--nms_thres", type=float, default=0.25)
+    parser.add_argument("--max_det", type=int, default=16)
+    parser.add_argument("--capacities", type=str, default="",
+                        help="comma-separated crop-capacity lattice to warm "
+                             "(default: floor..batch*max_det in policy "
+                             "quanta)")
+    parser.add_argument("--calib_frames", type=int, default=8,
+                        help="leading stream frames used for int8 PTQ "
+                             "calibration")
+    parser.add_argument("--output_csv", type=str, default="",
+                        help="write per-detection rows (frame, box, conf, "
+                             "7 keypoints) in source pixels")
+    parser.add_argument("--observe_every", type=int, default=8)
+    add_bool_arg(parser, "vanilla_anchor", False, "use the vanilla anchors")
+    add_bool_arg(parser, "warmup", True,
+                 "precompile the bucket lattice before serving")
+    opt = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from mit_driverless_cv_traininginfra_tpu.config import load_network_spec
+    from mit_driverless_cv_traininginfra_tpu.infer.capacity import (
+        AdaptiveCapacity,
+    )
+    from mit_driverless_cv_traininginfra_tpu.infer.detect import (
+        unletterbox_boxes,
+    )
+    from mit_driverless_cv_traininginfra_tpu.infer.serving import (
+        TwoStageServer,
+    )
+    from mit_driverless_cv_traininginfra_tpu.models import rektnet
+    from mit_driverless_cv_traininginfra_tpu.models.darknet import (
+        fold_bn,
+        init_params,
+        load_darknet_weights,
+    )
+    from mit_driverless_cv_traininginfra_tpu.models.stem_opt import (
+        build_packed_stem,
+        slice_preyolo,
+        stem_is_packable,
+    )
+    from mit_driverless_cv_traininginfra_tpu.ops.boxes import (
+        calculate_padding,
+    )
+    from mit_driverless_cv_traininginfra_tpu.ops.image import letterbox
+
+    spec = load_network_spec(opt.model_cfg, vanilla_anchor=opt.vanilla_anchor)
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    params, state, _ = load_darknet_weights(spec, params, state,
+                                            opt.yolo_weights)
+    folded = fold_bn(params, state, spec)
+    spec, folded = slice_preyolo(spec, folded)
+    packed = build_packed_stem(folded) if stem_is_packable(spec) else None
+    rp, rs = rektnet.load_torch_checkpoint(opt.rektnet_weights)
+    rp = rektnet.fold_bn(rp, rs)
+
+    H, W = spec.net.height, spec.net.width
+
+    def boxed(img_np):
+        """letterbox one RGB uint8 frame to (H, W) [0,1] f32 + its geometry."""
+        h, w = img_np.shape[:2]
+        pad_h, pad_w, ratio = calculate_padding(h, w, H, W)
+        fb, _ = letterbox(jnp.asarray(img_np, jnp.float32)[None] / 255.0,
+                          H, W)
+        return np.asarray(fb[0], np.float32), (pad_h, pad_w, ratio)
+
+    frames_it = _iter_source(opt.source)
+
+    # --- build the server at the requested precision -----------------------
+    serve_dtype = jnp.float32
+    lead: list = []          # (idx, frame, geom) consumed for calibration
+    if opt.precision == "int8":
+        from mit_driverless_cv_traininginfra_tpu.models.quantize import (
+            calibrate,
+            calibrate_rektnet,
+            quantize_packed_stem,
+            quantize_params,
+            quantize_rektnet_params,
+        )
+        from mit_driverless_cv_traininginfra_tpu.ops.pallas_entry import (
+            entry_block_applicable,
+            quantize_entry,
+        )
+
+        for idx, img in frames_it:
+            fb, geom = boxed(img)
+            lead.append((idx, fb, geom))
+            if len(lead) >= opt.calib_frames:
+                break
+        if not lead:
+            print("ERROR: empty source", file=sys.stderr)
+            return 1
+        cal = jnp.asarray(np.stack([f for _, f, _ in lead]), jnp.float32)
+        amax = calibrate(spec, folded, cal)
+        yolo_q = quantize_params(spec, folded, amax)
+        stem_q = (quantize_packed_stem(packed, amax)
+                  if packed is not None else None)
+        # RektNet calibration crops: random crops from the same frames —
+        # the real crop distribution isn't known until detection runs
+        rng = np.random.default_rng(0)
+        crops = []
+        for _ in range(32):
+            _, f, _ = lead[rng.integers(len(lead))]
+            y = rng.integers(0, max(1, H - 80))
+            x = rng.integers(0, max(1, W - 80))
+            crops.append(f[y:y + 80, x:x + 80])
+        rekt_q = quantize_rektnet_params(
+            rp, calibrate_rektnet(rp, jnp.asarray(np.stack(crops))))
+        entry_q = (quantize_entry(folded, amax)
+                   if entry_block_applicable(spec) else None)
+        server = TwoStageServer(
+            spec, yolo_q=yolo_q, stem_q=stem_q, rekt_q=rekt_q,
+            entry_q=entry_q, conf_thresh=opt.conf_thres,
+            nms_thresh=opt.nms_thres, max_det=opt.max_det,
+            policy=AdaptiveCapacity(), observe_every=opt.observe_every)
+        serve_dtype = jnp.bfloat16
+    else:
+        if opt.precision == "bf16":
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.bfloat16), t)
+            folded, rp = cast(folded), cast(rp)
+            packed = cast(packed) if packed is not None else None
+            serve_dtype = jnp.bfloat16
+        server = TwoStageServer(
+            spec, yolo_params=folded, rekt_params=rp, packed_stem=packed,
+            conf_thresh=opt.conf_thres, nms_thresh=opt.nms_thres,
+            max_det=opt.max_det, policy=AdaptiveCapacity(),
+            observe_every=opt.observe_every)
+
+    B = opt.batch_size
+    if opt.warmup:
+        caps = ([int(c) for c in opt.capacities.split(",") if c]
+                if opt.capacities else None)
+        secs = server.warmup([B], capacities=caps, frame_dtype=serve_dtype)
+        print(f"warmup: {sorted(server.warmed)} in {secs:.1f}s",
+              file=sys.stderr)
+
+    csv_f = None
+    if opt.output_csv:
+        os.makedirs(os.path.dirname(opt.output_csv) or ".", exist_ok=True)
+        csv_f = open(opt.output_csv, "w")
+        csv_f.write("frame,det,x1,y1,x2,y2,conf,"
+                    + ",".join(f"kp{i}_x,kp{i}_y" for i in range(7)) + "\n")
+
+    def emit(idxs, geoms, out, n_valid):
+        """Pull one batch's outputs (single device_get = fence + 1 RTT) and
+        write CSV rows in source-pixel coordinates."""
+        boxes, scores, mask, kpts = jax.device_get(
+            (out.boxes, out.scores, out.mask, out.keypoints))
+        if csv_f is None:
+            return
+        for r in range(n_valid):
+            pad_h, pad_w, ratio = geoms[r]
+            bb = np.asarray(unletterbox_boxes(boxes[r], pad_h, pad_w, ratio))
+            kk = kpts[r] / ratio - np.asarray([pad_w, pad_h])
+            for d in np.flatnonzero(mask[r]):
+                row = [idxs[r], int(d)] + [f"{v:.2f}" for v in bb[d]]
+                row += [f"{scores[r][d]:.4f}"]
+                row += [f"{v:.2f}" for v in kk[d].ravel()]
+                csv_f.write(",".join(str(v) for v in row) + "\n")
+
+    n_frames = 0
+    t0 = time.perf_counter()
+    pend_i, pend_f, pend_g = [], [], []
+
+    def flush():
+        nonlocal n_frames
+        if not pend_i:
+            return
+        batch = np.stack(pend_f)
+        out = server(jnp.asarray(batch, serve_dtype))
+        emit(pend_i, pend_g, out, len(pend_i))
+        n_frames += len(pend_i)
+        pend_i.clear(), pend_f.clear(), pend_g.clear()
+
+    # leading calibration frames are served first, then the rest of the
+    # stream; a short final batch rides the zero-pad batch bucket
+    for idx, fb, geom in lead:
+        pend_i.append(idx), pend_f.append(fb), pend_g.append(geom)
+        if len(pend_i) == B:
+            flush()
+    for idx, img in frames_it:
+        fb, geom = boxed(img)
+        pend_i.append(idx), pend_f.append(fb), pend_g.append(geom)
+        if len(pend_i) == B:
+            flush()
+    flush()
+    wall = time.perf_counter() - t0
+
+    if csv_f is not None:
+        csv_f.close()
+        print(f"detections -> {opt.output_csv}", file=sys.stderr)
+
+    summary = {"frames": n_frames, "wall_s": round(wall, 2),
+               "fps": round(n_frames / wall, 1) if wall else None,
+               "precision": opt.precision, "batch_size": B,
+               **server.stats()}
+    print(json.dumps(summary, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

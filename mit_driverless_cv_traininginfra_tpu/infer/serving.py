@@ -60,7 +60,9 @@ class TwoStageServer:
                  policy: Optional[AdaptiveCapacity] = None,
                  observe_every: int = 8,
                  crop_kernel: Optional[bool] = None,
-                 grow_past_warmed: bool = False):
+                 grow_past_warmed: bool = False,
+                 pad_to_batch: bool = True,
+                 mesh=None):
         if (yolo_q is None) == (yolo_params is None):
             raise ValueError("pass exactly one of yolo_q (int8) or "
                              "yolo_params (bf16/f32 folded)")
@@ -91,6 +93,23 @@ class TwoStageServer:
         self.policy = policy or AdaptiveCapacity()
         self.observe_every = max(1, observe_every)
         self.grow_past_warmed = grow_past_warmed
+        self.pad_to_batch = pad_to_batch
+        # multi-chip serving: shard the frame batch over a jax Mesh — the
+        # fused pipeline is one jit, so XLA SPMD-partitions it (the batch-
+        # global crop top-k becomes collectives over ICI); outputs come
+        # back batch-sharded. Validated batch-sharded == single-device by
+        # __graft_entry__.dryrun_multichip and test_serving.
+        self.mesh = mesh
+        if mesh is not None:
+            from mit_driverless_cv_traininginfra_tpu.parallel.mesh import (
+                batch_sharding,
+            )
+
+            self._frame_sharding = batch_sharding(mesh)
+            self._n_dev = len(mesh.devices.ravel())
+        else:
+            self._frame_sharding = None
+            self._n_dev = 1
         self.calls = 0
         self.current_capacity: Optional[int] = None
         # bucket bookkeeping
@@ -99,6 +118,8 @@ class TwoStageServer:
         self.compiles = 0        # serving-path calls on an unseen bucket
         self.bucket_clamps = 0   # wants redirected to a compiled bucket
         self.capacity_exhausted = 0  # wants ABOVE every compiled bucket
+        self.batch_pads = 0      # short batches padded up to a warmed B
+        self.pad_spurious = 0    # detections fired by zero pad frames
         self.warmup_seconds: float = 0.0
         # windowed-crop contract watch: boxes larger than the kernel's
         # window degrade to border-clipped crops (ops/pallas_crop.py).
@@ -206,7 +227,49 @@ class TwoStageServer:
 
     # -- serving ------------------------------------------------------------
 
+    def _pad_batch(self, frames):
+        """Pad a short batch up to a compiled batch size with zero frames.
+
+        In deployment the batch size jitters (a camera drops a frame, a
+        stream ends mid-batch); without padding every new batch size is a
+        new jit bucket — a multi-minute axon compile on the serving path.
+        With ``pad_to_batch`` (default) a batch smaller than a compiled
+        batch size is zero-padded up to the nearest one (``batch_pads``
+        counts it) and the outputs are sliced back, so a B-1 batch is a
+        jit-cache hit. Zero frames produce no detections at trained conf
+        thresholds, so they don't steal crop capacity; violations are
+        sampled on the observation cadence into ``pad_spurious``. A batch
+        LARGER than every compiled size falls through unpadded (compiles,
+        counted in ``compiles``). Under a mesh, the batch is additionally
+        padded to a device multiple instead of erroring."""
+        B0 = int(frames.shape[0])
+        if not self.pad_to_batch:
+            return frames, B0
+        B = B0
+        compiled = sorted({b for (b, _) in (self.warmed | self.seen)})
+        bigger = [b for b in compiled if b >= B0]
+        if bigger and bigger[0] != B0:
+            B = bigger[0]
+        if self._n_dev > 1 and B % self._n_dev:
+            B += self._n_dev - B % self._n_dev
+        if B != B0:
+            frames = jnp.concatenate(
+                [jnp.asarray(frames),
+                 jnp.zeros((B - B0,) + tuple(frames.shape[1:]),
+                           frames.dtype)], axis=0)
+            self.batch_pads += 1
+        return frames, B0
+
     def _run(self, frames, cap: int) -> PipelineOut:
+        if self._frame_sharding is not None:
+            import jax
+
+            if frames.shape[0] % self._n_dev:
+                raise ValueError(
+                    f"batch {frames.shape[0]} is not divisible by the "
+                    f"{self._n_dev}-device mesh; pad the batch or resize "
+                    "the mesh")
+            frames = jax.device_put(frames, self._frame_sharding)
         if self.yolo_q is not None:
             return two_stage_pipeline_int8(
                 self.spec, self.yolo_q, self.stem_q, self.rekt_q, frames,
@@ -222,6 +285,7 @@ class TwoStageServer:
             crop_capacity=cap, crop_kernel=self.crop_kernel)
 
     def __call__(self, frames) -> PipelineOut:
+        frames, B0 = self._pad_batch(frames)
         B = frames.shape[0]
         cap = self.policy.capacity(B, self.max_det)
         if self.warmed:
@@ -230,10 +294,14 @@ class TwoStageServer:
             self.compiles += 1
             self.seen.add((B, cap))
         self.current_capacity = cap
-        out = self._run(frames, cap)
+        full = self._run(frames, cap)
+        out = (full if B == B0
+               else PipelineOut(*(x[:B0] for x in full)))
         self.calls += 1
         if self.calls % self.observe_every == 0 or len(self.policy.loads) == 0:
             self.policy.observe_mask(out.mask, cap)
+            if B != B0:
+                self.pad_spurious += int(np.asarray(full.mask[B0:]).sum())
             if self._box_limits is not None:
                 self._observe_oversize(out)
         return out
@@ -259,6 +327,8 @@ class TwoStageServer:
             "compiles": self.compiles,
             "bucket_clamps": self.bucket_clamps,
             "capacity_exhausted": self.capacity_exhausted,
+            "batch_pads": self.batch_pads,
+            "pad_spurious": self.pad_spurious,
             "warmed_buckets": sorted(self.warmed),
             "warmup_seconds": round(self.warmup_seconds, 2),
             "overflows": self.policy.overflows,

@@ -26,7 +26,7 @@ from mit_driverless_cv_traininginfra_tpu.models.quantize import (
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "tiny_test.cfg")
 
 
-def _server(policy=None, observe_every=1):
+def _server(policy=None, observe_every=1, **kw):
     spec = load_network_spec(FIXTURE, vanilla_anchor=True)
     params, state = init_params(spec, jax.random.PRNGKey(0))
     folded = fold_bn(params, state, spec)
@@ -41,7 +41,7 @@ def _server(policy=None, observe_every=1):
                                                 jnp.float32)))
     srv = TwoStageServer.from_params(
         spec, yolo_q, None, rekt_q, conf_thresh=0.1, max_det=4,
-        policy=policy, observe_every=observe_every)
+        policy=policy, observe_every=observe_every, **kw)
     return srv, frames
 
 
@@ -203,3 +203,84 @@ def test_pick_bucket_reuses_seen_buckets():
     assert srv.current_capacity == 8
     assert srv.compiles == 1     # no new compile
     assert srv.capacity_exhausted == 0
+
+
+def test_server_mesh_sharded_matches_single_device():
+    """TwoStageServer(mesh=...) serves the batch sharded over the mesh;
+    outputs must match the single-device server exactly (XLA SPMD handles
+    the batch-global crop top-k via collectives)."""
+    from mit_driverless_cv_traininginfra_tpu.parallel.mesh import make_mesh
+
+    if jax.device_count() < 2:
+        import pytest
+
+        pytest.skip("needs the multi-device CPU mesh")
+    mesh = make_mesh()
+    n = jax.device_count()
+    srv1, frames2 = _server(policy=AdaptiveCapacity(floor=8, quantum=8,
+                                                    warmup_capacity=8))
+    # batch divisible by the mesh
+    frames = jnp.concatenate([frames2] * n, axis=0)
+    srvm, _ = _server(policy=AdaptiveCapacity(floor=8, quantum=8,
+                                              warmup_capacity=8),
+                      mesh=mesh)
+    # same quantized params on both servers so outputs are comparable
+    srvm.yolo_q, srvm.rekt_q = srv1.yolo_q, srv1.rekt_q
+
+    out1 = srv1(frames)
+    outm = srvm(frames)
+    np.testing.assert_allclose(np.asarray(outm.boxes),
+                               np.asarray(out1.boxes), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(outm.mask),
+                                  np.asarray(out1.mask))
+    np.testing.assert_allclose(np.asarray(outm.keypoints),
+                               np.asarray(out1.keypoints), atol=1e-4)
+    # the output really is sharded over the mesh
+    shard_devs = {s.device for s in outm.boxes.addressable_shards}
+    assert len(shard_devs) == n
+
+    # indivisible batch fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        srvm(frames[: n + 1] if n > 1 else frames)
+
+
+def test_short_batch_pads_to_warmed_bucket_no_compile():
+    """Deployment batch jitter (a camera drops a frame → B-1) must NOT
+    enter a new jit bucket: the batch is zero-padded up to the nearest
+    compiled batch size, outputs are sliced back, and — with capacity not
+    binding — the real frames' outputs are bit-identical to the full-batch
+    run. Counted in stats()["batch_pads"]."""
+    pol = AdaptiveCapacity(floor=8, quantum=8, warmup_capacity=8)
+    srv, frames = _server(policy=pol, observe_every=1)
+    B = frames.shape[0]                       # 2
+    srv.warmup([B], capacities=[8], frame_dtype=jnp.float32)
+    out_full = srv(frames)
+
+    out_short = srv(frames[:1])               # B-1: padded up to B
+    assert srv.batch_pads == 1
+    assert srv.compiles == 0                   # jit-cache hit, no stall
+    assert out_short.boxes.shape == (1, srv.max_det, 4)
+    assert out_short.keypoints.shape == (1, srv.max_det, 7, 2)
+    # capacity 8 = B*max_det never binds → row 0 is unaffected by what
+    # else is in the batch (compaction is bit-identical under capacity)
+    np.testing.assert_array_equal(np.asarray(out_short.boxes),
+                                  np.asarray(out_full.boxes[:1]))
+    np.testing.assert_array_equal(np.asarray(out_short.mask),
+                                  np.asarray(out_full.mask[:1]))
+    np.testing.assert_array_equal(np.asarray(out_short.keypoints),
+                                  np.asarray(out_full.keypoints[:1]))
+    st = srv.stats()
+    assert st["batch_pads"] == 1
+    assert st["pad_spurious"] >= 0             # sampled on observe cadence
+
+    # pad_to_batch=False restores the old behavior: new bucket, compile
+    srv2, frames2 = _server(policy=AdaptiveCapacity(floor=8, quantum=8,
+                                                    warmup_capacity=8),
+                            pad_to_batch=False)
+    srv2.warmup([frames2.shape[0]], capacities=[8],
+                frame_dtype=jnp.float32)
+    srv2(frames2[:1])
+    assert srv2.batch_pads == 0
+    assert srv2.compiles == 1
