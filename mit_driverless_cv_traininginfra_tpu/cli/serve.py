@@ -111,9 +111,6 @@ def main(argv=None) -> int:
     from mit_driverless_cv_traininginfra_tpu.infer.capacity import (
         AdaptiveCapacity,
     )
-    from mit_driverless_cv_traininginfra_tpu.infer.detect import (
-        unletterbox_boxes,
-    )
     from mit_driverless_cv_traininginfra_tpu.infer.serving import (
         TwoStageServer,
     )
@@ -127,9 +124,6 @@ def main(argv=None) -> int:
         build_packed_stem,
         slice_preyolo,
         stem_is_packable,
-    )
-    from mit_driverless_cv_traininginfra_tpu.ops.boxes import (
-        calculate_padding,
     )
     from mit_driverless_cv_traininginfra_tpu.ops.image import letterbox
 
@@ -146,12 +140,12 @@ def main(argv=None) -> int:
     H, W = spec.net.height, spec.net.width
 
     def boxed(img_np):
-        """letterbox one RGB uint8 frame to (H, W) [0,1] f32 + its geometry."""
-        h, w = img_np.shape[:2]
-        pad_h, pad_w, ratio = calculate_padding(h, w, H, W)
-        fb, _ = letterbox(jnp.asarray(img_np, jnp.float32)[None] / 255.0,
-                          H, W)
-        return np.asarray(fb[0], np.float32), (pad_h, pad_w, ratio)
+        """letterbox one RGB uint8 frame to (H, W) [0,1] f32 + its geometry
+        — the (pad_h, pad_w, ratio) letterbox itself used, so the CSV
+        unletterboxing can never drift from the applied transform."""
+        fb, geom = letterbox(jnp.asarray(img_np, jnp.float32)[None] / 255.0,
+                             H, W)
+        return np.asarray(fb[0], np.float32), geom
 
     frames_it = _iter_source(opt.source)
 
@@ -233,19 +227,30 @@ def main(argv=None) -> int:
 
     def emit(idxs, geoms, out, n_valid):
         """Pull one batch's outputs (single device_get = fence + 1 RTT) and
-        write CSV rows in source-pixel coordinates."""
+        write CSV rows in source-pixel coordinates. All math is host numpy
+        — re-entering JAX here would pay one dispatch RTT per row."""
         boxes, scores, mask, kpts = jax.device_get(
             (out.boxes, out.scores, out.mask, out.keypoints))
         if csv_f is None:
             return
+        boxes = np.asarray(boxes, np.float32)
+        kpts = np.asarray(kpts, np.float32)
         for r in range(n_valid):
             pad_h, pad_w, ratio = geoms[r]
-            bb = np.asarray(unletterbox_boxes(boxes[r], pad_h, pad_w, ratio))
-            kk = kpts[r] / ratio - np.asarray([pad_w, pad_h])
+            bb = boxes[r] / ratio - np.asarray(
+                [pad_w, pad_h, pad_w, pad_h], np.float32)
             for d in np.flatnonzero(mask[r]):
                 row = [idxs[r], int(d)] + [f"{v:.2f}" for v in bb[d]]
                 row += [f"{scores[r][d]:.4f}"]
-                row += [f"{v:.2f}" for v in kk[d].ravel()]
+                if kpts[r, d].any():
+                    kk = kpts[r, d] / ratio - np.asarray([pad_w, pad_h],
+                                                         np.float32)
+                    row += [f"{v:.2f}" for v in kk.ravel()]
+                else:
+                    # capacity-dropped detection: the pipeline's all-zero
+                    # keypoint sentinel — emit empty fields, never fake
+                    # coordinates
+                    row += [""] * 14
                 csv_f.write(",".join(str(v) for v in row) + "\n")
 
     n_frames = 0

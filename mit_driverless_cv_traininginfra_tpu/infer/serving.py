@@ -62,6 +62,7 @@ class TwoStageServer:
                  crop_kernel: Optional[bool] = None,
                  grow_past_warmed: bool = False,
                  pad_to_batch: bool = True,
+                 pad_max_factor: int = 4,
                  mesh=None):
         if (yolo_q is None) == (yolo_params is None):
             raise ValueError("pass exactly one of yolo_q (int8) or "
@@ -94,6 +95,7 @@ class TwoStageServer:
         self.observe_every = max(1, observe_every)
         self.grow_past_warmed = grow_past_warmed
         self.pad_to_batch = pad_to_batch
+        self.pad_max_factor = pad_max_factor
         # multi-chip serving: shard the frame batch over a jax Mesh — the
         # fused pipeline is one jit, so XLA SPMD-partitions it (the batch-
         # global crop top-k becomes collectives over ICI); outputs come
@@ -233,32 +235,43 @@ class TwoStageServer:
         In deployment the batch size jitters (a camera drops a frame, a
         stream ends mid-batch); without padding every new batch size is a
         new jit bucket — a multi-minute axon compile on the serving path.
-        With ``pad_to_batch`` (default) a batch smaller than a compiled
-        batch size is zero-padded up to the nearest one (``batch_pads``
-        counts it) and the outputs are sliced back, so a B-1 batch is a
-        jit-cache hit. Zero frames produce no detections at trained conf
-        thresholds, so they don't steal crop capacity; violations are
-        sampled on the observation cadence into ``pad_spurious``. A batch
-        LARGER than every compiled size falls through unpadded (compiles,
-        counted in ``compiles``). Under a mesh, the batch is additionally
-        padded to a device multiple instead of erroring."""
+        With ``pad_to_batch`` (default) a short batch is zero-padded up to
+        the smallest compiled batch size that is also a mesh-device
+        multiple (``batch_pads`` counts it) and the outputs are sliced
+        back, so a B-1 batch is a jit-cache hit. Padding is bounded by
+        ``pad_max_factor``: running a vastly larger compiled program on a
+        tiny batch forever (B=1 padded into a B=128 bucket) is a worse
+        trade than one native-bucket compile, so a target beyond
+        ``pad_max_factor * B`` is ignored and the batch falls through
+        unpadded (compiles once, counted in ``compiles``) — as does a
+        batch LARGER than every compiled size. Zero frames produce no
+        detections at trained conf thresholds, so they don't steal crop
+        capacity; violations are sampled on the observation cadence into
+        ``pad_spurious``. Under a mesh, a fallen-through batch is still
+        padded to a device multiple rather than erroring."""
         B0 = int(frames.shape[0])
         if not self.pad_to_batch:
             return frames, B0
-        B = B0
+        from mit_driverless_cv_traininginfra_tpu.parallel.mesh import (
+            pad_batch_to_devices,
+        )
+
         compiled = sorted({b for (b, _) in (self.warmed | self.seen)})
-        bigger = [b for b in compiled if b >= B0]
-        if bigger and bigger[0] != B0:
-            B = bigger[0]
-        if self._n_dev > 1 and B % self._n_dev:
-            B += self._n_dev - B % self._n_dev
-        if B != B0:
-            frames = jnp.concatenate(
-                [jnp.asarray(frames),
-                 jnp.zeros((B - B0,) + tuple(frames.shape[1:]),
-                           frames.dtype)], axis=0)
-            self.batch_pads += 1
-        return frames, B0
+        target = next(
+            (b for b in compiled
+             if B0 <= b <= self.pad_max_factor * B0
+             and b % self._n_dev == 0), None)
+        if target is None:
+            target = self._n_dev   # no usable bucket: device multiple only
+        if (-B0) % target == 0:
+            return frames, B0      # already the right size: hot path,
+        #                            no host round-trip
+        # B0 < target, so the next multiple of `target` IS target; the
+        # fallback pads to the next multiple of the mesh size
+        padded, _ = pad_batch_to_devices(np.asarray(frames), target,
+                                         mode="zeros")
+        self.batch_pads += 1
+        return padded, B0
 
     def _run(self, frames, cap: int) -> PipelineOut:
         if self._frame_sharding is not None:

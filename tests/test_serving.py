@@ -217,13 +217,17 @@ def test_server_mesh_sharded_matches_single_device():
         pytest.skip("needs the multi-device CPU mesh")
     mesh = make_mesh()
     n = jax.device_count()
+    # observe_every=inf keeps the policy at warmup capacity for every call
+    # (an observation could grow the cap → an extra multi-minute CPU-mesh
+    # compile that this test doesn't need)
     srv1, frames2 = _server(policy=AdaptiveCapacity(floor=8, quantum=8,
-                                                    warmup_capacity=8))
+                                                    warmup_capacity=8),
+                            observe_every=10**9)
     # batch divisible by the mesh
     frames = jnp.concatenate([frames2] * n, axis=0)
     srvm, _ = _server(policy=AdaptiveCapacity(floor=8, quantum=8,
                                               warmup_capacity=8),
-                      mesh=mesh)
+                      observe_every=10**9, mesh=mesh)
     # same quantized params on both servers so outputs are comparable
     srvm.yolo_q, srvm.rekt_q = srv1.yolo_q, srv1.rekt_q
 
@@ -239,11 +243,20 @@ def test_server_mesh_sharded_matches_single_device():
     shard_devs = {s.device for s in outm.boxes.addressable_shards}
     assert len(shard_devs) == n
 
-    # indivisible batch fails loudly
+    # an indivisible batch zero-pads up to the seen (divisible) bucket —
+    # a jit-cache hit, sliced back to the caller's batch
+    out_short = srvm(frames[: n + 1])
+    assert out_short.boxes.shape[0] == n + 1
+    assert srvm.batch_pads == 1
+    np.testing.assert_allclose(np.asarray(out_short.boxes[:n]),
+                               np.asarray(out1.boxes[:n]), atol=1e-5)
+
+    # with padding disabled, an indivisible batch fails loudly
     import pytest
 
+    srvm.pad_to_batch = False
     with pytest.raises(ValueError, match="not divisible"):
-        srvm(frames[: n + 1] if n > 1 else frames)
+        srvm(frames[: n + 1])
 
 
 def test_short_batch_pads_to_warmed_bucket_no_compile():
