@@ -70,6 +70,36 @@ def _iter_source(source: str):
                   f"got {source}")
 
 
+def _prefetch(gen, depth: int):
+    """Run ``gen`` on a daemon thread, yielding through a bounded queue.
+
+    Decode+letterbox overlap the device round-trips (the thread decodes
+    while the main thread blocks in device_get); producer exceptions are
+    re-raised in the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(2, depth))
+    done = object()
+
+    def work():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(done)
+        except BaseException as e:  # noqa: BLE001 — surface in consumer
+            q.put(e)
+
+    threading.Thread(target=work, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         description="warmed two-stage serving over a video/image stream")
@@ -99,13 +129,31 @@ def main(argv=None) -> int:
                         help="write per-detection rows (frame, box, conf, "
                              "7 keypoints) in source pixels")
     parser.add_argument("--observe_every", type=int, default=8)
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="shard each batch over the first N devices "
+                             "(0 = single device); the fused pipeline "
+                             "SPMD-partitions over ICI")
     add_bool_arg(parser, "vanilla_anchor", False, "use the vanilla anchors")
     add_bool_arg(parser, "warmup", True,
                  "precompile the bucket lattice before serving")
+    add_bool_arg(parser, "prefetch", True,
+                 "decode/letterbox on a background thread, overlapping "
+                 "the device round-trips")
     opt = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
+    from PIL import Image
+
+    from mit_driverless_cv_traininginfra_tpu.utils.jaxcache import (
+        enable_compile_cache,
+    )
+
+    # persistent compile cache: a warm restart re-warms the bucket lattice
+    # from disk in seconds instead of recompiling for minutes (bench.py
+    # does the same; a cold axon-tunnel compile of the fused pipeline is
+    # minutes per bucket)
+    enable_compile_cache()
 
     from mit_driverless_cv_traininginfra_tpu.config import load_network_spec
     from mit_driverless_cv_traininginfra_tpu.infer.capacity import (
@@ -125,7 +173,18 @@ def main(argv=None) -> int:
         slice_preyolo,
         stem_is_packable,
     )
-    from mit_driverless_cv_traininginfra_tpu.ops.image import letterbox
+    from mit_driverless_cv_traininginfra_tpu.data import decode as host_decode
+    from mit_driverless_cv_traininginfra_tpu.ops.boxes import (
+        calculate_padding,
+    )
+
+    mesh = None
+    if opt.mesh:
+        from mit_driverless_cv_traininginfra_tpu.parallel.mesh import (
+            make_mesh,
+        )
+
+        mesh = make_mesh(opt.mesh)
 
     spec = load_network_spec(opt.model_cfg, vanilla_anchor=opt.vanilla_anchor)
     params, state = init_params(spec, jax.random.PRNGKey(0))
@@ -139,13 +198,34 @@ def main(argv=None) -> int:
 
     H, W = spec.net.height, spec.net.width
 
+    try:
+        from native import letterbox as native_letterbox
+        native_letterbox = (native_letterbox if host_decode.native_active()
+                            else None)
+    except Exception:  # noqa: BLE001 — native core not built
+        native_letterbox = None
+
     def boxed(img_np):
-        """letterbox one RGB uint8 frame to (H, W) [0,1] f32 + its geometry
-        — the (pad_h, pad_w, ratio) letterbox itself used, so the CSV
-        unletterboxing can never drift from the applied transform."""
-        fb, geom = letterbox(jnp.asarray(img_np, jnp.float32)[None] / 255.0,
-                             H, W)
-        return np.asarray(fb[0], np.float32), geom
+        """letterbox one RGB uint8 frame to (H, W) [0,1] f32 + its geometry.
+
+        Host-side on purpose: the jnp letterbox would be one device
+        dispatch PER FRAME — ~20 ms RTT each through the axon tunnel,
+        dwarfing the pipeline itself. Uses the C++ core when built
+        (cv2-exact, the data pipeline's default), PIL otherwise; geometry
+        comes from calculate_padding — the same formula both letterboxes
+        implement (pinned by the data-pipeline tests)."""
+        h, w = img_np.shape[:2]
+        geom = calculate_padding(h, w, H, W)
+        if native_letterbox is not None:
+            out = native_letterbox(np.ascontiguousarray(img_np), H, W)
+        else:
+            pad_h, pad_w, _ = geom
+            im = Image.fromarray(img_np)
+            padded = Image.new("RGB", (w + 2 * pad_w, h + 2 * pad_h),
+                               (127, 127, 127))
+            padded.paste(im, (pad_w, pad_h))
+            out = np.asarray(padded.resize((W, H), Image.BILINEAR))
+        return out.astype(np.float32) / 255.0, geom
 
     frames_it = _iter_source(opt.source)
 
@@ -195,7 +275,8 @@ def main(argv=None) -> int:
             spec, yolo_q=yolo_q, stem_q=stem_q, rekt_q=rekt_q,
             entry_q=entry_q, conf_thresh=opt.conf_thres,
             nms_thresh=opt.nms_thres, max_det=opt.max_det,
-            policy=AdaptiveCapacity(), observe_every=opt.observe_every)
+            policy=AdaptiveCapacity(), observe_every=opt.observe_every,
+            mesh=mesh)
         serve_dtype = jnp.bfloat16
     else:
         if opt.precision == "bf16":
@@ -208,7 +289,7 @@ def main(argv=None) -> int:
             spec, yolo_params=folded, rekt_params=rp, packed_stem=packed,
             conf_thresh=opt.conf_thres, nms_thresh=opt.nms_thres,
             max_det=opt.max_det, policy=AdaptiveCapacity(),
-            observe_every=opt.observe_every)
+            observe_every=opt.observe_every, mesh=mesh)
 
     B = opt.batch_size
     if opt.warmup:
@@ -253,32 +334,43 @@ def main(argv=None) -> int:
                     row += [""] * 14
                 csv_f.write(",".join(str(v) for v in row) + "\n")
 
+    def decoded():
+        # leading calibration frames are served first, then the rest of
+        # the stream; a short final batch rides the zero-pad batch bucket
+        yield from lead
+        for idx, img in frames_it:
+            fb, geom = boxed(img)
+            yield idx, fb, geom
+
     n_frames = 0
     t0 = time.perf_counter()
     pend_i, pend_f, pend_g = [], [], []
+    inflight = None   # (idxs, geoms, out, n) — one batch of latency keeps
+    #                   the device busy while the host assembles the next
 
     def flush():
-        nonlocal n_frames
+        nonlocal n_frames, inflight
         if not pend_i:
             return
         batch = np.stack(pend_f)
-        out = server(jnp.asarray(batch, serve_dtype))
-        emit(pend_i, pend_g, out, len(pend_i))
-        n_frames += len(pend_i)
+        out = server(jnp.asarray(batch, serve_dtype))  # async dispatch
+        prev = inflight
+        inflight = (list(pend_i), list(pend_g), out, len(pend_i))
         pend_i.clear(), pend_f.clear(), pend_g.clear()
+        if prev is not None:
+            emit(*prev)                                # fences batch N-1
+            n_frames += prev[3]
 
-    # leading calibration frames are served first, then the rest of the
-    # stream; a short final batch rides the zero-pad batch bucket
-    for idx, fb, geom in lead:
-        pend_i.append(idx), pend_f.append(fb), pend_g.append(geom)
-        if len(pend_i) == B:
-            flush()
-    for idx, img in frames_it:
-        fb, geom = boxed(img)
+    stream = (_prefetch(decoded(), depth=2 * B) if opt.prefetch
+              else decoded())
+    for idx, fb, geom in stream:
         pend_i.append(idx), pend_f.append(fb), pend_g.append(geom)
         if len(pend_i) == B:
             flush()
     flush()
+    if inflight is not None:
+        emit(*inflight)
+        n_frames += inflight[3]
     wall = time.perf_counter() - t0
 
     if csv_f is not None:
