@@ -23,6 +23,13 @@ def _run(nb_path, tmp_path, monkeypatch):
     shutil.copy(os.path.join(REPO, "tests", "fixtures", "tiny_test.cfg"),
                 tmp_path / "tests" / "fixtures" / "tiny_test.cfg")
     nb = nbformat.read(nb_path, as_version=4)
+    # pin the kernel to CPU like the rest of the suite: this image's axon
+    # TPU plugin overrides JAX_PLATFORMS inside the kernel subprocess (the
+    # env vars conftest sets are not enough there — only the config API
+    # defeats it, CLAUDE.md "Platform forcing"), so without this cell the
+    # tutorials silently run on the TPU and hang when the tunnel is down
+    nb.cells.insert(0, nbformat.v4.new_code_cell(
+        "import jax\njax.config.update('jax_platforms', 'cpu')"))
     client = NotebookClient(nb, timeout=600, kernel_name="python3",
                             resources={"metadata": {"path": str(tmp_path)}})
     client.execute()
