@@ -135,6 +135,50 @@ def _leaky(x, slope: float):
     return jnp.where(x >= 0, x, x * slope)
 
 
+def _packed_stem_train(spec, params, state, x, train, new_state):
+    """Exact space-to-depth TRAINING stem (blocks 0–1, live BatchNorm).
+
+    The serving pass proved the rewrite (stem_opt.py: 3-channel conv1 runs
+    the MXU at ~2% utilisation; packed it is K=108×N=128); this is its
+    training twin, same arithmetic including the BN:
+
+    - packed weights are rebuilt from the canonical ``params`` every step
+      via the differentiable :func:`~.stem_opt.pack_stem_weights_jnp`
+      scatter, so checkpoints/grads stay in the reference layout;
+    - BN statistics are computed on the packed layout through a PURE
+      RESHAPE (B, h, w, 4·C1) → (B, h, 4w, C1): the four parity planes
+      partition the full-resolution positions, so per-channel mean/var —
+      and therefore the running-stat updates — equal the plain path's
+      exactly (up to f32 summation order).
+
+    Returns block-1's output (B, H/2, W/2, C2); callers must ensure the
+    graph never routes to block 0's output (true for the YOLOv3 graph;
+    guarded by ``stem_is_packable`` at the step level).
+    """
+    from mit_driverless_cv_traininginfra_tpu.models.stem_opt import (
+        pack_input,
+        pack_stem_weights_jnp,
+    )
+
+    p0, p1 = params["0"], params["1"]
+    w1p, w2p = pack_stem_weights_jnp(p0["w"], p1["w"])
+    y = conv2d(pack_input(x), w1p, None, stride=1, padding=1)
+    B, h, w, c4 = y.shape
+    C1 = c4 // 4
+    y = y.reshape(B, h, w * 4, C1)
+    y, stats = batch_norm(y, {**p0["bn"], **state["0"]}, train)
+    if train:
+        new_state["0"] = update_running(state["0"], stats)
+    y = _leaky(y.reshape(B, h, w, c4), spec.net.leaky_slope)
+    out = jax.lax.conv_general_dilated(
+        y, w2p, (1, 1), [(1, 0), (1, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out, stats = batch_norm(out, {**p1["bn"], **state["1"]}, train)
+    if train:
+        new_state["1"] = update_running(state["1"], stats)
+    return _leaky(out, spec.net.leaky_slope)
+
+
 def forward_features(
     spec: NetworkSpec,
     params,
@@ -142,6 +186,7 @@ def forward_features(
     x,
     train: bool = False,
     packed_stem=None,
+    train_packed_stem: bool = False,
 ):
     """Run the backbone+necks; returns (head_outputs, new_state).
 
@@ -164,6 +209,10 @@ def forward_features(
         )
 
         x = apply_packed_stem(packed_stem, x, spec.net.leaky_slope)
+        layer_outputs = [x, x]  # slot 0 is never routed to in this graph
+        start = 2
+    elif train_packed_stem:
+        x = _packed_stem_train(spec, params, state, x, train, new_state)
         layer_outputs = [x, x]  # slot 0 is never routed to in this graph
         start = 2
     for i, b in list(enumerate(spec.blocks))[start:]:

@@ -105,6 +105,45 @@ def build_packed_stem(folded_params: Dict[str, dict]) -> Dict[str, jnp.ndarray]:
     }
 
 
+def pack_stem_weights_jnp(w1, w2):
+    """Differentiable (jnp) packed-stem weight construction — the TRAINING
+    twin of :func:`build_packed_stem` (which is numpy over folded
+    weights). Same tap algebra; biases stay with the BatchNorms.
+
+    Returns (w1p (3,3,4C,4C1), w2p (2,2,4C1,C2)). Each original w1 weight
+    lands in exactly one w1p slot and each w2 weight accumulates into
+    exactly one w2p slot, so the map is a fixed linear scatter and
+    gradients flow back to w1/w2 exactly. Built inside the train step
+    (36 static-index set/add ops — trace-time constants, negligible next
+    to the convs they enable)."""
+    C, C1 = w1.shape[2], w1.shape[3]
+    C2 = w2.shape[3]
+    w1p = jnp.zeros((3, 3, 4 * C, 4 * C1), w1.dtype)
+    for a in range(2):
+        for bb in range(2):
+            for dy in range(3):
+                for dx in range(3):
+                    sy, sx = a + dy - 1, bb + dx - 1
+                    Dy, Dx = sy >> 1, sx >> 1
+                    p, q = sy - 2 * Dy, sx - 2 * Dx
+                    w1p = w1p.at[
+                        Dy + 1, Dx + 1,
+                        (p * 2 + q) * C:(p * 2 + q + 1) * C,
+                        (a * 2 + bb) * C1:(a * 2 + bb + 1) * C1,
+                    ].set(w1[dy, dx])
+    w2p = jnp.zeros((2, 2, 4 * C1, C2), w2.dtype)
+    for dy in range(3):
+        for dx in range(3):
+            sy, sx = dy - 1, dx - 1
+            Dy, Dx = sy >> 1, sx >> 1
+            a, bb = sy - 2 * Dy, sx - 2 * Dx
+            w2p = w2p.at[
+                Dy + 1, Dx + 1,
+                (a * 2 + bb) * C1:(a * 2 + bb + 1) * C1, :,
+            ].add(w2[dy, dx])
+    return w1p, w2p
+
+
 def slice_preyolo(spec: NetworkSpec, folded_params):
     """Serving-time head slice: drop the class output channels of every
     pre-yolo conv.

@@ -49,7 +49,7 @@ def init_train_state(params, model_state, tx) -> TrainState:
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "tx", "xy_loss", "wh_loss", "object_loss",
-                     "no_object_loss", "compute_dtype"),
+                     "no_object_loss", "compute_dtype", "packed_stem"),
     donate_argnames=("ts",),
 )
 def yolo_train_step(
@@ -63,19 +63,25 @@ def yolo_train_step(
     object_loss: float = 0.1,
     no_object_loss: float = 25.0,
     compute_dtype: str = "float32",
+    packed_stem: bool = False,
 ):
     """One DP train step. images (B, H, W, C) in [0,1]; targets (B, T, 5).
 
     ``compute_dtype="bfloat16"`` runs the conv forward/backward in bf16
     (mixed precision: f32 master weights and optimizer state, f32 BN
-    statistics, f32 loss — the standard TPU recipe, ~2x step speedup)."""
+    statistics, f32 loss — the standard TPU recipe, ~2x step speedup).
+    ``packed_stem=True`` trains blocks 0–1 through the exact space-to-
+    depth rewrite (live BN; darknet._packed_stem_train) — the 3-channel
+    conv1 is the step's one layout-bound stage (PERF.md roofline); only
+    valid when ``stem_is_packable(spec)``."""
     cdt = jnp.dtype(compute_dtype)
 
     def loss_fn(params):
         p = jax.tree_util.tree_map(lambda v: v.astype(cdt), params) \
             if cdt != jnp.float32 else params
         heads, new_state = forward_features(spec, p, ts.model_state,
-                                            images.astype(cdt), train=True)
+                                            images.astype(cdt), train=True,
+                                            train_packed_stem=packed_stem)
         heads = [h.astype(jnp.float32) for h in heads]
         loss, comps = yolo_loss(spec, heads, targets, xy_loss, wh_loss,
                                 object_loss, no_object_loss)
@@ -110,7 +116,7 @@ def yolo_eval_step(
     jax.jit,
     static_argnames=("spec", "tx", "xy_loss", "wh_loss", "object_loss",
                      "no_object_loss", "compute_dtype", "augment_affine",
-                     "lr_flip", "jitter", "noise"),
+                     "lr_flip", "jitter", "noise", "packed_stem"),
     donate_argnames=("ts",),
 )
 def yolo_train_step_device_aug(
@@ -129,6 +135,7 @@ def yolo_train_step_device_aug(
     lr_flip: bool = True,
     jitter: bool = True,
     noise: bool = False,
+    packed_stem: bool = False,
 ):
     """Train step with ON-DEVICE augmentation fused in front of the model:
     the host ships raw letterboxed/patched images and pixel-corner labels
@@ -163,7 +170,8 @@ def yolo_train_step_device_aug(
         p = jax.tree_util.tree_map(lambda v: v.astype(cdt), params) \
             if cdt != jnp.float32 else params
         heads, new_state = forward_features(spec, p, ts.model_state,
-                                            images.astype(cdt), train=True)
+                                            images.astype(cdt), train=True,
+                                            train_packed_stem=packed_stem)
         heads = [h.astype(jnp.float32) for h in heads]
         loss, comps = yolo_loss(spec, heads, targets, xy_loss, wh_loss,
                                 object_loss, no_object_loss)

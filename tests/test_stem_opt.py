@@ -92,3 +92,136 @@ def test_slice_preyolo_preserves_box_conf_outputs(tmp_path):
     sliced = detections(spec_s, folded_s, {}, x, with_classes=False)
     np.testing.assert_allclose(np.asarray(full), np.asarray(sliced),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_packed_training_stem_matches_plain(tmp_path):
+    """train_packed_stem reformulates blocks 0-1 as the space-to-depth
+    conv pair with LIVE BatchNorm. The algebra is exact (conv1/conv2 and
+    the BN statistics match at 1e-15 in f64 — verified while building
+    this); what survives in f32 is the stats' summation-order drift
+    (~1e-7 rel), which train-mode BN re-normalization amplifies through
+    the 73 downstream layers — the same conditioning bf16 training rides
+    at 1e5x the perturbation. Assertions are scoped accordingly: the stem
+    itself tight, the deep-graph heads/state at chaotic-amplification
+    tolerance, and full-gradient equality on the SHALLOW fixture graph
+    where conditioning is mild."""
+    import os
+
+    from mit_driverless_cv_traininginfra_tpu.models.darknet import (
+        _leaky,
+        _packed_stem_train,
+        batch_norm,
+        conv2d,
+    )
+
+    spec = _small_yolo_spec(tmp_path)
+    assert stem_is_packable(spec)
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+
+    # 1) the stem itself: packed == plain to reassociation level
+    p0, p1 = params["0"], params["1"]
+    y = conv2d(x, p0["w"], None, stride=1, padding=1)
+    y, st0 = batch_norm(y, {**p0["bn"], **state["0"]}, True)
+    y = _leaky(y, spec.net.leaky_slope)
+    out = conv2d(y, p1["w"], None, stride=2, padding=1)
+    out, st1 = batch_norm(out, {**p1["bn"], **state["1"]}, True)
+    plain_stem = _leaky(out, spec.net.leaky_slope)
+    ns = {}
+    packed_stem_out = _packed_stem_train(spec, params, state, x, True, ns)
+    np.testing.assert_allclose(np.asarray(plain_stem),
+                               np.asarray(packed_stem_out),
+                               rtol=1e-5, atol=1e-5)
+    for plain_stats, key in ((st0, "0"), (st1, "1")):
+        from mit_driverless_cv_traininginfra_tpu.models.rektnet import (
+            update_running,
+        )
+
+        want = update_running(state[key], plain_stats)
+        for kk in want:
+            np.testing.assert_allclose(np.asarray(want[kk]),
+                                       np.asarray(ns[key][kk]),
+                                       rtol=1e-5, atol=1e-6)
+
+    # 2) deep graph: heads + BN states within chaotic amplification
+    h1, s1 = forward_features(spec, params, state, x, train=True)
+    h2, s2 = forward_features(spec, params, state, x, train=True,
+                              train_packed_stem=True)
+    for a, b in zip(h1, h2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+    for k in s1:
+        for kk in s1[k]:
+            np.testing.assert_allclose(np.asarray(s1[k][kk]),
+                                       np.asarray(s2[k][kk]),
+                                       rtol=2e-3, atol=2e-3)
+
+    # 3) full-gradient equality on the shallow fixture graph (8 convs)
+    tiny = load_network_spec(
+        os.path.join(os.path.dirname(__file__), "fixtures", "tiny_test.cfg"),
+        vanilla_anchor=True)
+    assert stem_is_packable(tiny)
+    tparams, tstate = init_params(tiny, jax.random.PRNGKey(1))
+
+    def loss(p, packed):
+        hs, _ = forward_features(tiny, p, tstate, x, train=True,
+                                 train_packed_stem=packed)
+        return sum(jnp.mean(h ** 2) for h in hs)
+
+    g1 = jax.grad(lambda p: loss(p, False))(tparams)
+    g2 = jax.grad(lambda p: loss(p, True))(tparams)
+    # per-leaf scale-normalized bound: elementwise rtol is meaningless on
+    # near-zero components, where the BN-stats noise lives. The floor is
+    # set by batch_norm's DELIBERATE f32 stats accumulation (its mean/var
+    # reduce in a different order on the packed layout): measured 2.3e-6
+    # scale-relative at f64 (f32-stats term only) and ~1.4e-3 at f32,
+    # where conv reassociation joins in. 5e-3 bounds it with margin while
+    # still catching any algebra regression (which shows up at 1e-1+).
+    # (+2e-4 absolute floor: small-scale leaves see the noise without the
+    # scale — an algebra bug still shows at ~1e-1 of scale)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-12
+        assert float(jnp.max(jnp.abs(a - b))) <= 5e-3 * scale + 2e-4
+
+
+def test_packed_training_step_matches_plain(tmp_path):
+    """One full yolo_train_step with packed_stem=True: same loss and BN
+    states as the plain step. Parameters are NOT compared elementwise —
+    Adam's first-step update is ~sign(g)*lr, so deep-graph gradient
+    components near zero (where the BN-stats reassociation noise
+    dominates) legitimately flip, bounded by 2*lr; trajectory-level
+    equivalence is the train-to-convergence bench's job."""
+    from mit_driverless_cv_traininginfra_tpu.data.synthetic import yolo_batch
+    from mit_driverless_cv_traininginfra_tpu.train.optim import make_optimizer
+    from mit_driverless_cv_traininginfra_tpu.train.steps import (
+        init_train_state,
+        yolo_train_step,
+    )
+
+    spec = _small_yolo_spec(tmp_path)
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    imgs, targets = yolo_batch(np.random.default_rng(0), 2, size=64)
+    imgs, targets = jnp.asarray(imgs), jnp.asarray(targets)
+    tx = make_optimizer("Adam", lr=1e-3)
+
+    # the step donates its TrainState: copy the trees so both steps start
+    # from identical, live buffers
+    copy = lambda t: jax.tree_util.tree_map(lambda v: jnp.array(v), t)
+    ts1 = init_train_state(copy(params), copy(state), tx)
+    ts2 = init_train_state(copy(params), copy(state), tx)
+    ts1, loss1, _ = yolo_train_step(spec, tx, ts1, imgs, targets)
+    ts2, loss2, _ = yolo_train_step(spec, tx, ts2, imgs, targets,
+                                    packed_stem=True)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    for k in ts1.model_state:
+        for kk in ts1.model_state[k]:
+            np.testing.assert_allclose(
+                np.asarray(ts1.model_state[k][kk]),
+                np.asarray(ts2.model_state[k][kk]), rtol=2e-3, atol=2e-3)
+    # Adam bounds any first-step move by ~lr, so no element may drift
+    # further than 2*lr + the f32 dust
+    for a, b in zip(jax.tree_util.tree_leaves(ts1.params),
+                    jax.tree_util.tree_leaves(ts2.params)):
+        assert float(jnp.max(jnp.abs(a - b))) <= 2 * 1e-3 + 1e-6

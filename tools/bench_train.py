@@ -64,7 +64,7 @@ def _bench_chain(step_once, ts0, iters, warmup=3):
 
 
 def bench_yolo(spec, batches, iters, dtypes=("float32", "bfloat16"),
-               device_aug=True):
+               device_aug=True, packed_stem=False):
     from mit_driverless_cv_traininginfra_tpu.models.darknet import init_params
     from mit_driverless_cv_traininginfra_tpu.train.optim import make_optimizer
     from mit_driverless_cv_traininginfra_tpu.train.steps import (
@@ -94,14 +94,16 @@ def bench_yolo(spec, batches, iters, dtypes=("float32", "bfloat16"),
         key = jax.random.PRNGKey(0)
 
         for dt in dtypes:
-            name = f"yolo{size} B={B} {dt}"
+            name = f"yolo{size} B={B} {dt}" + (
+                "+packed_stem" if packed_stem else "")
             try:
                 params, state = init_params(spec, jax.random.PRNGKey(0))
                 ts = init_train_state(params, state, tx)
 
                 def once(ts):
                     ts, loss, _ = yolo_train_step(
-                        spec, tx, ts, images, targets, compute_dtype=dt)
+                        spec, tx, ts, images, targets, compute_dtype=dt,
+                        packed_stem=packed_stem)
                     return ts, loss
 
                 ms = _bench_chain(once, ts, iters)
@@ -194,6 +196,11 @@ def main():
                     help="comma list, default 32,64,128")
     ap.add_argument("--rekt-batches", default=None,
                     help="comma list, default 64,256")
+    ap.add_argument("--packed-stem", action="store_true",
+                    help="train blocks 0-1 through the exact space-to-"
+                         "depth rewrite (darknet._packed_stem_train)")
+    ap.add_argument("--no-rekt", action="store_true",
+                    help="skip the RektNet half (A/B the YOLO flag fast)")
     args = ap.parse_args()
 
     from mit_driverless_cv_traininginfra_tpu.config import load_network_spec
@@ -222,8 +229,10 @@ def main():
         rekt_b = [int(x) for x in args.rekt_batches.split(",")]
 
     out = {"platform": dev.platform, "iters": iters,
-           "yolo": bench_yolo(spec, yolo_b, iters),
-           "rektnet": bench_rektnet(rekt_b, iters)}
+           "yolo": bench_yolo(spec, yolo_b, iters,
+                              packed_stem=args.packed_stem),
+           "rektnet": ([] if args.no_rekt
+                       else bench_rektnet(rekt_b, iters))}
     if args.json:
         with open(args.json, "w") as f:
             json.dump(out, f, indent=1)
