@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     # tools/bench_train.py), f32 elsewhere; --no_mixed_precision pins f32
     boolarg("mixed_precision", None, "bf16 compute with f32 master weights")
     boolarg("device_aug", False, "run augmentation on-device inside the train step")
+    boolarg("packed_stem", False,
+            "train blocks 0-1 through the exact space-to-depth rewrite "
+            "(the 3-channel conv1 is the step's layout-bound stage)")
     boolarg("preload_device", False,
             "train from a device-resident sample pool (host-bound machines)")
     parser.add_argument("--preload_num", type=int, default=None,

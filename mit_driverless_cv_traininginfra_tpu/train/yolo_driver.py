@@ -61,7 +61,7 @@ LOSS_LABELS = ["Total", "L-x", "L-y", "L-w", "L-h", "L-noobj", "L-obj"]
 def run_epoch(*, label_prefix: str, data_loader, spec, tx, ts, mesh,
               num_steps: int, step, epoch: int, loss_consts, optimize: bool,
               compute_dtype: str = "float32", device_aug: bool = False,
-              aug_key=None, aug_flags=None):
+              aug_key=None, aug_flags=None, packed_stem: bool = False):
     """Shared train/validate epoch loop (train.py:49-93). Returns
     (epoch_losses[7], epoch_time_total, epoch_num_targets, ts)."""
     print(f"Model in {label_prefix} mode")
@@ -94,13 +94,14 @@ def run_epoch(*, label_prefix: str, data_loader, spec, tx, ts, mesh,
             ts, loss, comps = yolo_train_step_device_aug(
                 spec, tx, ts, imgs, targets, key,
                 xy_loss=xy, wh_loss=wh, object_loss=obj, no_object_loss=noobj,
-                compute_dtype=compute_dtype, **(aug_flags or {}),
+                compute_dtype=compute_dtype, packed_stem=packed_stem,
+                **(aug_flags or {}),
             )
         elif optimize:
             ts, loss, comps = yolo_train_step(
                 spec, tx, ts, imgs, targets,
                 xy_loss=xy, wh_loss=wh, object_loss=obj, no_object_loss=noobj,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, packed_stem=packed_stem,
             )
         else:
             loss, comps = yolo_eval_step(
@@ -180,6 +181,7 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
          val_tolerance: int = 3, min_epochs: int = 3,
          vis_batch: int = 0, resume: bool = False,
          mixed_precision="auto", device_aug: bool = False,
+         packed_stem: bool = False,
          preload_device: bool = False, preload_num: Optional[int] = None,
          preload_budget_gb: float = 6.0,
          debug_mode: bool = False, evaluate: bool = False,
@@ -195,6 +197,17 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
     # --no_mixed_precision to pin f32.
     if mixed_precision == "auto":
         mixed_precision = jax.default_backend() == "tpu"
+    # packed_stem: opt-in exact space-to-depth training stem (conv1 is the
+    # step's layout-bound stage — darknet._packed_stem_train); only valid
+    # on the standard YOLOv3 stem
+    if packed_stem:
+        from mit_driverless_cv_traininginfra_tpu.models.stem_opt import (
+            stem_is_packable,
+        )
+
+        if not stem_is_packable(spec):
+            raise ValueError("--packed_stem requires the standard YOLOv3 "
+                             "stem (conv3x3/s1 then conv3x3/s2, even input)")
 
     common = dict(dataset_path=dataset_path, width=spec.net.width,
                   height=spec.net.height, bw=spec.net.bw, ts=ts,
@@ -277,7 +290,7 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
             ts=ts_state, mesh=mesh, num_steps=num_steps, step=step,
             epoch=epoch, loss_consts=loss_consts, optimize=True,
             compute_dtype="bfloat16" if mixed_precision else "float32",
-            device_aug=device_aug,
+            device_aug=device_aug, packed_stem=packed_stem,
             aug_key=jax.random.PRNGKey(seed * 7919 + epoch),
             # honour the user's augmentation flags on the device path with
             # the HOST path's semantics (yolo_dataset.__getitem__, matching
