@@ -61,3 +61,55 @@ def test_serve_cli_image_dir(tmp_path, capsys):
     with open(csv) as f:
         header = f.readline().strip()
     assert header.startswith("frame,det,x1,y1,x2,y2,conf,kp0_x")
+
+
+def test_serve_cli_mesh_matches_single_device(tmp_path, capsys):
+    """--mesh N shards each batch over the first N (virtual CPU) devices;
+    the fused pipeline is per-sample independent, so the CSV detections
+    must match the single-device run. Also exercises mesh-aware batch
+    padding: 5 frames at B=2 leave a short final batch that zero-pads to
+    a device multiple instead of compiling a new bucket."""
+    spec = load_network_spec(FIXTURE, vanilla_anchor=True)
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    w = str(tmp_path / "tiny.weights")
+    save_darknet_weights(spec, params, state, w)
+    rp, rs = rektnet.init(jax.random.PRNGKey(1))
+    pt = str(tmp_path / "rekt.pt")
+    save_rektnet_pt(pt, rp, rs)
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        Image.fromarray(
+            rng.integers(0, 255, (80, 100, 3), dtype=np.uint8)
+        ).save(src / f"f{i}.png")
+
+    outs = {}
+    for name, extra in (("single", []), ("mesh", ["--mesh", "2"])):
+        csv = str(tmp_path / f"dets_{name}.csv")
+        rc = serve.main([
+            "--source", str(src), "--model_cfg", FIXTURE,
+            "--yolo_weights", w, "--rektnet_weights", pt,
+            "--precision", "f32", "--batch_size", "2",
+            "--conf_thres", "0.1", "--max_det", "4",
+            "--capacities", "8", "--output_csv", csv, "--vanilla_anchor",
+        ] + extra)
+        assert rc == 0
+        summary = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["frames"] == 5
+        assert summary["compiles"] == 0
+        with open(csv) as f:
+            outs[name] = f.read().splitlines()
+
+    assert outs["single"][0] == outs["mesh"][0]          # header
+    assert len(outs["single"]) == len(outs["mesh"])
+    for a, b in zip(outs["single"][1:], outs["mesh"][1:]):
+        fa = [v for v in a.split(",")]
+        fb = [v for v in b.split(",")]
+        assert fa[:2] == fb[:2]                          # frame, det index
+        va = np.array([float(x) for x in fa[2:] if x != ""])
+        vb = np.array([float(x) for x in fb[2:] if x != ""])
+        assert va.size == vb.size
+        np.testing.assert_allclose(va, vb, atol=0.02)    # %.2f CSV rounding

@@ -225,3 +225,39 @@ def test_packed_training_step_matches_plain(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(ts1.params),
                     jax.tree_util.tree_leaves(ts2.params)):
         assert float(jnp.max(jnp.abs(a - b))) <= 2 * 1e-3 + 1e-6
+
+
+def test_packed_stem_device_aug_step(tmp_path):
+    """The device-aug train step also takes packed_stem=True (the two
+    flags compose in train/steps.py:174); pin that path: same aug key →
+    same loss/BN state as the plain device-aug step, at the same
+    tolerances as the host-aug twin above."""
+    from mit_driverless_cv_traininginfra_tpu.train.optim import make_optimizer
+    from mit_driverless_cv_traininginfra_tpu.train.steps import (
+        init_train_state,
+        yolo_train_step_device_aug,
+    )
+
+    spec = _small_yolo_spec(tmp_path)
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    labels = np.zeros((2, 3, 5), np.float32)
+    labels[:, 0] = [0, 10, 12, 40, 44]
+    labels = jnp.asarray(labels)
+    tx = make_optimizer("Adam", lr=1e-3)
+    key = jax.random.PRNGKey(11)
+
+    copy = lambda t: jax.tree_util.tree_map(lambda v: jnp.array(v), t)
+    ts1 = init_train_state(copy(params), copy(state), tx)
+    ts2 = init_train_state(copy(params), copy(state), tx)
+    ts1, loss1, _ = yolo_train_step_device_aug(spec, tx, ts1, imgs, labels,
+                                               key)
+    ts2, loss2, _ = yolo_train_step_device_aug(spec, tx, ts2, imgs, labels,
+                                               key, packed_stem=True)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    for k in ts1.model_state:
+        for kk in ts1.model_state[k]:
+            np.testing.assert_allclose(
+                np.asarray(ts1.model_state[k][kk]),
+                np.asarray(ts2.model_state[k][kk]), rtol=2e-3, atol=2e-3)
