@@ -17,7 +17,6 @@ flips move into the jitted train step).
 Prints one JSON line.
 """
 
-import io
 import json
 import os
 import sys

@@ -26,9 +26,8 @@ Parity notes:
 
 from __future__ import annotations
 
-import math
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

@@ -21,7 +21,7 @@ import os
 import random
 import sys
 import threading
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 from PIL import Image

@@ -15,7 +15,7 @@ by the tests (no onnx runtime in the image to execute against).
 from __future__ import annotations
 
 import struct
-from typing import Dict, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -13,7 +13,7 @@ HWIO weights transpose on the way out). Matching the reference exporter:
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 

@@ -9,7 +9,7 @@ program with fixed shapes — no host NMS loop, no per-image recompiles.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ slicing warm start (models.py:380-394).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax

@@ -21,7 +21,7 @@ scale-sensitive and a negligible FLOP fraction).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

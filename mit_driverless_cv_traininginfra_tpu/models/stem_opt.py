@@ -35,7 +35,7 @@ conv2p weights from ``build_packed_stem``.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

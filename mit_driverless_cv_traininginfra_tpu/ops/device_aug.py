@@ -23,7 +23,6 @@ Ops (distributions match the reference's sampling ranges):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ for serving/bench throughput.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

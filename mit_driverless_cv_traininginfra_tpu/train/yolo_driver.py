@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mit_driverless_cv_traininginfra_tpu.config.darknet_cfg import NetworkSpec, load_network_spec
+from mit_driverless_cv_traininginfra_tpu.config.darknet_cfg import load_network_spec
 from mit_driverless_cv_traininginfra_tpu.data.loader import DataLoader, prefetch_to_device
 from mit_driverless_cv_traininginfra_tpu.data.yolo_dataset import ImageLabelDataset
 from mit_driverless_cv_traininginfra_tpu.models.darknet import (
@@ -33,7 +33,7 @@ from mit_driverless_cv_traininginfra_tpu.models.darknet import (
     load_darknet_weights,
     save_darknet_weights,
 )
-from mit_driverless_cv_traininginfra_tpu.ops.metrics import evaluate_image_batch, summarize
+from mit_driverless_cv_traininginfra_tpu.ops.metrics import evaluate_image_batch
 from mit_driverless_cv_traininginfra_tpu.parallel.mesh import (
     make_mesh,
     pad_batch_to_devices,

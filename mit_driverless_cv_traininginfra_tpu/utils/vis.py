@@ -6,7 +6,6 @@ harnesses. Writes via a temp name then renames, like the reference."""
 from __future__ import annotations
 
 import os
-from typing import Sequence
 
 import numpy as np
 

@@ -6,7 +6,6 @@ import os
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import pytest
 
 from mit_driverless_cv_traininginfra_tpu.config import load_network_spec

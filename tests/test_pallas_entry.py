@@ -11,7 +11,6 @@ import textwrap
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mit_driverless_cv_traininginfra_tpu.config import load_network_spec
 from mit_driverless_cv_traininginfra_tpu.models.darknet import (
@@ -241,7 +240,6 @@ def test_quantize_entry_bf16_conv1_variant(tmp_path):
     the int8 conv1. Kept CPU-only: mixing the bf16 conv with downstream
     int8 convs hangs the remote TPU compile (PERF.md dead ends) — the
     flag waits on a toolchain fix."""
-    import tempfile
 
     from mit_driverless_cv_traininginfra_tpu.config import load_network_spec
     from mit_driverless_cv_traininginfra_tpu.models.darknet import (

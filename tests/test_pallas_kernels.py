@@ -4,7 +4,6 @@ path is exercised on real TPU by bench.py / the drive scripts)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from mit_driverless_cv_traininginfra_tpu.ops.pallas_kernels import (

@@ -12,7 +12,6 @@ reference's own ``build_targets`` (CVC-YOLOv3/utils/utils.py:195-275),
 The reference tree is treated strictly as an oracle (outputs only).
 """
 
-import math
 import os
 import sys
 import types

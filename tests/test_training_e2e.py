@@ -2,7 +2,6 @@
 (CSV → dataset → DP train steps → checkpoints → evaluation → score files)."""
 
 import csv
-import json
 import os
 
 import numpy as np

@@ -8,7 +8,6 @@ int8 matmul (MXU-shaped), epilogue fused.
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

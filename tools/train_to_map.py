@@ -69,7 +69,6 @@ def main():
         evaluate_image_batch,
         summarize,
     )
-    from mit_driverless_cv_traininginfra_tpu.train.optim import make_optimizer
     from mit_driverless_cv_traininginfra_tpu.train.steps import (
         init_train_state,
         yolo_train_step,
