@@ -315,6 +315,14 @@ def main():
     # AdaptiveCapacity's generic default stays 1.25.
     cap_margin = (float(sys.argv[sys.argv.index("--cap-margin") + 1])
                   if "--cap-margin" in sys.argv else 1.1)
+    # Capacity quantum: the keypoint stage cost is linear in capacity
+    # (~0.03 ms/crop at 80² int8), so each unused 128-wide step of
+    # headroom costs ~2% e2e. 32 keeps the RektNet matmul M
+    # (capacity·80·80) and the crop kernel grid fully tiled while
+    # cutting bucket-rounding slack 4× — measured vs 128 on chip
+    # (PERF.md "Capacity quantum").
+    cap_quantum = (int(sys.argv[sys.argv.index("--cap-quantum") + 1])
+                   if "--cap-quantum" in sys.argv else 32)
     if on_tpu:
         # crop compaction: RektNet runs on the valid crops only (the r1
         # breakdown showed masked padding slots were 57% of e2e time).
@@ -324,7 +332,8 @@ def main():
             AdaptiveCapacity,
         )
 
-        policy = AdaptiveCapacity(floor=256, margin=cap_margin, quantum=128)
+        policy = AdaptiveCapacity(floor=256, margin=cap_margin,
+                                  quantum=cap_quantum)
         policy.observe_mask(out0.mask)
         crop_cap[0] = policy.capacity(batch, max_det)
         out0 = run(frames)  # compile the compacted variant
@@ -365,6 +374,7 @@ def main():
         "max_det": max_det,
         "crop_capacity": crop_cap[0],
         "cap_margin": cap_margin,
+        "cap_quantum": cap_quantum,
         "crop_kernel": kernel_active,
     }
 
