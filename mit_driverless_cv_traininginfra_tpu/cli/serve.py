@@ -104,7 +104,11 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         description="warmed two-stage serving over a video/image stream")
     parser.add_argument("--source", type=str, required=True,
-                        help="video file or image directory")
+                        help="video file, image directory, or synthetic:N "
+                             "(N rendered cone scenes at the model input "
+                             "size — measures the device-rate ceiling "
+                             "through the server, no decode/letterbox "
+                             "cost)")
     parser.add_argument("--model_cfg", type=str,
                         default="model_cfg/yolo_baseline.cfg")
     parser.add_argument("--yolo_weights", type=str, required=True)
@@ -139,6 +143,9 @@ def main(argv=None) -> int:
     add_bool_arg(parser, "prefetch", True,
                  "decode/letterbox on a background thread, overlapping "
                  "the device round-trips")
+    add_bool_arg(parser, "assert_no_compiles", False,
+                 "exit nonzero if anything compiled on the serving path "
+                 "after warmup (deployment invariant)")
     opt = parser.parse_args(argv)
 
     import jax
@@ -216,6 +223,9 @@ def main(argv=None) -> int:
         implement (pinned by the data-pipeline tests)."""
         h, w = img_np.shape[:2]
         geom = calculate_padding(h, w, H, W)
+        if (h, w) == (H, W):
+            # already model-sized (the synthetic source): skip the resize
+            return img_np.astype(np.float32) / 255.0, geom
         if native_letterbox is not None:
             out = native_letterbox(np.ascontiguousarray(img_np), H, W)
         else:
@@ -227,7 +237,30 @@ def main(argv=None) -> int:
             out = np.asarray(padded.resize((W, H), Image.BILINEAR))
         return out.astype(np.float32) / 255.0, geom
 
-    frames_it = _iter_source(opt.source)
+    if opt.source.startswith("synthetic:"):
+        # rendered cone scenes at the model input size (the bench's own
+        # scene generator): the device-rate ceiling through the SERVER —
+        # same letterboxed-tensor contract, no decode/resize host cost
+        n_syn = int(opt.source.split(":", 1)[1])
+        if H != W:
+            raise SystemExit("synthetic source needs a square model input")
+        from mit_driverless_cv_traininginfra_tpu.data.synthetic import (
+            yolo_batch as _syn_batch,
+        )
+
+        def _syn_frames():
+            rng = np.random.default_rng(42)
+            made = 0
+            while made < n_syn:
+                k = min(64, n_syn - made)
+                imgs, _ = _syn_batch(rng, k, size=H)
+                for i in range(k):
+                    yield made + i, (imgs[i] * 255).astype(np.uint8)
+                made += k
+
+        frames_it = _syn_frames()
+    else:
+        frames_it = _iter_source(opt.source)
 
     # --- build the server at the requested precision -----------------------
     serve_dtype = jnp.float32
@@ -345,21 +378,29 @@ def main(argv=None) -> int:
     n_frames = 0
     t0 = time.perf_counter()
     pend_i, pend_f, pend_g = [], [], []
-    inflight = None   # (idxs, geoms, out, n) — one batch of latency keeps
-    #                   the device busy while the host assembles the next
+    inflight = None   # (idxs, geoms, out, n, t_dispatch) — one batch of
+    #                   latency keeps the device busy while the host
+    #                   assembles the next
+    batch_lat_ms: list = []   # dispatch→results-on-host wall per batch
+
+    def finish(entry):
+        nonlocal n_frames
+        emit(*entry[:4])                    # device_get = fence
+        batch_lat_ms.append((time.perf_counter() - entry[4]) * 1000.0)
+        n_frames += entry[3]
 
     def flush():
-        nonlocal n_frames, inflight
+        nonlocal inflight
         if not pend_i:
             return
         batch = np.stack(pend_f)
+        t_disp = time.perf_counter()
         out = server(jnp.asarray(batch, serve_dtype))  # async dispatch
         prev = inflight
-        inflight = (list(pend_i), list(pend_g), out, len(pend_i))
+        inflight = (list(pend_i), list(pend_g), out, len(pend_i), t_disp)
         pend_i.clear(), pend_f.clear(), pend_g.clear()
         if prev is not None:
-            emit(*prev)                                # fences batch N-1
-            n_frames += prev[3]
+            finish(prev)                               # fences batch N-1
 
     stream = (_prefetch(decoded(), depth=2 * B) if opt.prefetch
               else decoded())
@@ -369,19 +410,29 @@ def main(argv=None) -> int:
             flush()
     flush()
     if inflight is not None:
-        emit(*inflight)
-        n_frames += inflight[3]
+        finish(inflight)
     wall = time.perf_counter() - t0
 
     if csv_f is not None:
         csv_f.close()
         print(f"detections -> {opt.output_csv}", file=sys.stderr)
 
+    # end-to-end batch latency: dispatch → all outputs on host (the emit
+    # device_get is the fence). With the one-batch-deep pipeline this is
+    # the true "results available" latency a consumer of the CSV sees.
+    lat = np.asarray(batch_lat_ms, np.float64)
+    e2e = ({p: round(float(np.percentile(lat, p)), 2) for p in (50, 95, 99)}
+           if lat.size else None)
     summary = {"frames": n_frames, "wall_s": round(wall, 2),
                "fps": round(n_frames / wall, 1) if wall else None,
                "precision": opt.precision, "batch_size": B,
+               "e2e_batch_ms": e2e,
                **server.stats()}
     print(json.dumps(summary, default=str))
+    if opt.assert_no_compiles and opt.warmup and summary["compiles"]:
+        print(f"ERROR: {summary['compiles']} serving-path compile(s) after "
+              "warmup", file=sys.stderr)
+        return 2
     return 0
 
 

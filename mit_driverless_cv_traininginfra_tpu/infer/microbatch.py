@@ -35,7 +35,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
-from collections import Counter
+from collections import Counter, deque
 from concurrent.futures import Future
 from typing import Callable, Optional, Sequence
 
@@ -73,6 +73,10 @@ class MicroBatcher:
         self.frames = 0
         self.padded_frames = 0
         self.batch_counts: Counter = Counter()
+        # per-request submit→resolve wall latency (ms): includes the
+        # co-arrival wait, device time, and the single device_get fan-out
+        # — the full client-visible latency
+        self.request_ms: deque = deque(maxlen=1024)
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -136,7 +140,7 @@ class MicroBatcher:
         with self._lifecycle_lock:
             if self._thread is None:
                 raise RuntimeError("MicroBatcher not started")
-            self._q.put((arr, fut))
+            self._q.put((arr, fut, time.perf_counter()))
         return fut
 
     # -- collector ----------------------------------------------------------
@@ -205,6 +209,9 @@ class MicroBatcher:
             self.frames += n
             self.padded_frames += pad
             self.batch_counts[bucket] += 1
+            done = time.perf_counter()
+            for t in (p[2] for p in pending):
+                self.request_ms.append((done - t) * 1000.0)
             for i, f in enumerate(futs):
                 self._resolve(f, {"boxes": boxes[i], "scores": scores[i],
                                   "mask": mask[i], "keypoints": kpts[i]})
@@ -213,10 +220,13 @@ class MicroBatcher:
         counts = self.batch_counts
         total = sum(counts.values())
         weighted = sum(b * c for b, c in counts.items())
+        lat = np.asarray(self.request_ms, np.float64)
         return {
             "batches": self.batches,
             "frames": self.frames,
             "padded_frames": self.padded_frames,
             "mean_batch": (weighted / total if total else None),
             "bucket_histogram": {b: counts.get(b, 0) for b in self.buckets},
+            "request_ms": ({p: round(float(np.percentile(lat, p)), 3)
+                            for p in (50, 95, 99)} if lat.size else None),
         }

@@ -57,7 +57,8 @@ class PipelineOut(NamedTuple):
 
 def _crops_and_keypoints(kpt_apply, frames, boxes, scores, mask,
                          crop_size: int, crop_capacity,
-                         crop_kernel: bool = False):
+                         crop_kernel: bool = False,
+                         kpt_pad_multiple: int = 0):
     """ROI-crop + keypoint net, compacted to the valid detections.
 
     With trained conf sparsity most of the B·K fixed crop slots are masked
@@ -78,6 +79,12 @@ def _crops_and_keypoints(kpt_apply, frames, boxes, scores, mask,
     as plausible-looking points at the box's top-left corner.
 
     ``crop_capacity=None`` (or ≥ B·K) keeps the dense path.
+
+    ``kpt_pad_multiple``: run the keypoint net on the crop buffer zero-
+    padded up to the next multiple (XLA's RektNet schedule prefers
+    128-multiple batches — PERF.md "Capacity quantum"); the crop gather
+    stays at the fine-grained capacity and the pad rows' outputs are
+    sliced off, so results are unchanged. 0 disables.
     """
     from mit_driverless_cv_traininginfra_tpu.ops.image import (
         roi_crop_bilinear_indexed,
@@ -109,7 +116,15 @@ def _crops_and_keypoints(kpt_apply, frames, boxes, scores, mask,
         crops_c = roi_crop_bilinear_indexed(
             frames, boxes.reshape(B * K, 4)[sel], sel // K, crop_size,
             crop_size)
-    pts_c = kpt_apply(crops_c)  # (C, 7, 2)
+    if kpt_pad_multiple and crop_capacity % kpt_pad_multiple:
+        n_pad = (kpt_pad_multiple * -(-crop_capacity // kpt_pad_multiple)
+                 - crop_capacity)
+        crops_p = jnp.concatenate(
+            [crops_c, jnp.zeros((n_pad, *crops_c.shape[1:]), crops_c.dtype)],
+            axis=0)
+        pts_c = kpt_apply(crops_p)[:crop_capacity]  # (C, 7, 2)
+    else:
+        pts_c = kpt_apply(crops_c)  # (C, 7, 2)
     pts = jnp.zeros((B * K, 7, 2), pts_c.dtype).at[sel].set(pts_c)
     kept = jnp.zeros((B * K,), bool).at[sel].set(True) & mask.reshape(-1)
     return pts.reshape(B, K, 7, 2), kept.reshape(B, K)
@@ -118,7 +133,8 @@ def _crops_and_keypoints(kpt_apply, frames, boxes, scores, mask,
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "conf_thresh", "nms_thresh", "max_det",
-                     "crop_size", "crop_capacity", "crop_kernel"),
+                     "crop_size", "crop_capacity", "crop_kernel",
+                     "kpt_pad_multiple"),
 )
 def two_stage_pipeline(
     spec: NetworkSpec,
@@ -134,6 +150,7 @@ def two_stage_pipeline(
     packed_stem=None,
     crop_capacity=None,
     crop_kernel: bool = False,
+    kpt_pad_multiple: int = 0,
 ) -> PipelineOut:
     """frames: (B, H, W, 3) in [0,1], H/W = spec.net input size.
 
@@ -150,8 +167,8 @@ def two_stage_pipeline(
     else:  # BN-folded serving params (rektnet.fold_bn)
         kpt_apply = lambda c: rektnet.apply_folded(rekt_params, c)[1]
     pts, kept = _crops_and_keypoints(kpt_apply, frames, boxes, scores, mask,
-                                     crop_size, crop_capacity,
-                                     crop_kernel)  # [0,1] crop coords
+                                     crop_size, crop_capacity, crop_kernel,
+                                     kpt_pad_multiple)  # [0,1] crop coords
 
     x0y0 = boxes[..., None, 0:2]
     wh_box = (boxes[..., 2:4] - boxes[..., 0:2])[..., None, :]
@@ -164,7 +181,8 @@ def two_stage_pipeline(
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "conf_thresh", "nms_thresh", "max_det",
-                     "crop_size", "crop_capacity", "crop_kernel"),
+                     "crop_size", "crop_capacity", "crop_kernel",
+                     "kpt_pad_multiple"),
 )
 def two_stage_pipeline_int8(
     spec: NetworkSpec,
@@ -179,6 +197,7 @@ def two_stage_pipeline_int8(
     crop_capacity=None,
     entry_q=None,
     crop_kernel: bool = False,
+    kpt_pad_multiple: int = 0,
 ) -> PipelineOut:
     """int8 serving configuration of the pipeline: quantized YOLO backbone
     (incl. packed stem) and quantized RektNet, bf16 elsewhere. Params from
@@ -196,7 +215,8 @@ def two_stage_pipeline_int8(
     boxes, scores, mask = _postprocess(dets, conf_thresh, nms_thresh, max_det)
     pts, kept = _crops_and_keypoints(
         lambda c: apply_rektnet_int8(rekt_q, c)[1],
-        frames, boxes, scores, mask, crop_size, crop_capacity, crop_kernel)
+        frames, boxes, scores, mask, crop_size, crop_capacity, crop_kernel,
+        kpt_pad_multiple)
     x0y0 = boxes[..., None, 0:2]
     wh_box = (boxes[..., 2:4] - boxes[..., 0:2])[..., None, :]
     kpts = jnp.where(kept[..., None, None], x0y0 + pts * wh_box, 0.0)

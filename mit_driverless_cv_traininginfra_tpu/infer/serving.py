@@ -26,6 +26,7 @@ Usage::
 from __future__ import annotations
 
 import time
+from collections import deque
 from typing import Iterable, Optional, Sequence
 
 import jax.numpy as jnp
@@ -63,6 +64,9 @@ class TwoStageServer:
                  grow_past_warmed: bool = False,
                  pad_to_batch: bool = True,
                  pad_max_factor: int = 4,
+                 oversize_degrade_threshold: float = 0.02,
+                 oversize_min_observed: int = 256,
+                 latency_window: int = 256,
                  mesh=None):
         if (yolo_q is None) == (yolo_params is None):
             raise ValueError("pass exactly one of yolo_q (int8) or "
@@ -125,9 +129,23 @@ class TwoStageServer:
         self.warmup_seconds: float = 0.0
         # windowed-crop contract watch: boxes larger than the kernel's
         # window degrade to border-clipped crops (ops/pallas_crop.py).
-        # Sampled on the observation cadence (off the hot path).
+        # Sampled on the observation cadence (off the hot path). When the
+        # sampled oversize rate exceeds ``oversize_degrade_threshold``
+        # (after ``oversize_min_observed`` boxes), subsequent batches are
+        # routed to the XLA indexed crop — exact for any box size; both
+        # crop variants are precompiled by warmup(), so the switch never
+        # stalls the serving path.
         self.oversize_boxes = 0
         self.oversize_observed = 0   # boxes inspected for the rate
+        self.oversize_degrade_threshold = oversize_degrade_threshold
+        self.oversize_min_observed = oversize_min_observed
+        self.crop_kernel_degraded = False
+        self.crop_kernel_switches = 0
+        # queue-inclusive per-batch latency (ms), sampled on the
+        # observation cadence with a fence-correct device→host read;
+        # (batch, ms) pairs so per-frame percentiles stay honest when the
+        # batch size varies
+        self.latencies: deque[tuple[int, float]] = deque(maxlen=latency_window)
         if self.crop_kernel:
             from mit_driverless_cv_traininginfra_tpu.ops.pallas_crop import (
                 crop_kernel_box_limits,
@@ -196,6 +214,12 @@ class TwoStageServer:
                 out = self._run(frames, cap)
                 float(jnp.sum(out.scores))  # fence (axon: block_until_ready
                 # is a no-op through the tunnel)
+                if self.crop_kernel:
+                    # also precompile the XLA indexed-crop variant so the
+                    # oversize auto-degrade switch is a jit-cache hit, not
+                    # a serving-path compile
+                    out = self._run(frames, cap, use_kernel=False)
+                    float(jnp.sum(out.scores))
                 self.warmed.add((B, cap))
                 self.seen.add((B, cap))
         self.warmup_seconds += time.perf_counter() - t0
@@ -273,7 +297,10 @@ class TwoStageServer:
         self.batch_pads += 1
         return padded, B0
 
-    def _run(self, frames, cap: int) -> PipelineOut:
+    def _run(self, frames, cap: int,
+             use_kernel: Optional[bool] = None) -> PipelineOut:
+        if use_kernel is None:
+            use_kernel = self.crop_kernel and not self.crop_kernel_degraded
         if self._frame_sharding is not None:
             import jax
 
@@ -289,13 +316,13 @@ class TwoStageServer:
                 conf_thresh=self.conf_thresh, nms_thresh=self.nms_thresh,
                 max_det=self.max_det, crop_size=self.crop_size,
                 crop_capacity=cap, entry_q=self.entry_q,
-                crop_kernel=self.crop_kernel)
+                crop_kernel=use_kernel)
         return two_stage_pipeline(
             self.spec, self.yolo_params, {}, self.rekt_params, {},
             frames, conf_thresh=self.conf_thresh,
             nms_thresh=self.nms_thresh, max_det=self.max_det,
             crop_size=self.crop_size, packed_stem=self.packed_stem,
-            crop_capacity=cap, crop_kernel=self.crop_kernel)
+            crop_capacity=cap, crop_kernel=use_kernel)
 
     def __call__(self, frames) -> PipelineOut:
         frames, B0 = self._pad_batch(frames)
@@ -307,12 +334,20 @@ class TwoStageServer:
             self.compiles += 1
             self.seen.add((B, cap))
         self.current_capacity = cap
+        observing = ((self.calls + 1) % self.observe_every == 0
+                     or len(self.policy.loads) == 0)
+        t0 = time.perf_counter() if observing else None
         full = self._run(frames, cap)
         out = (full if B == B0
                else PipelineOut(*(x[:B0] for x in full)))
         self.calls += 1
-        if self.calls % self.observe_every == 0 or len(self.policy.loads) == 0:
+        if observing:
+            # observe_mask's np.asarray is the device→host fence: between
+            # t0 and here the dispatched program (plus any queued backlog)
+            # actually ran, so this is a queue-inclusive batch latency —
+            # the number a deployer's SLA cares about
             self.policy.observe_mask(out.mask, cap)
+            self.latencies.append((B0, (time.perf_counter() - t0) * 1000.0))
             if B != B0:
                 self.pad_spurious += int(np.asarray(full.mask[B0:]).sum())
             if self._box_limits is not None:
@@ -323,7 +358,14 @@ class TwoStageServer:
         """Count valid detections whose box exceeds the windowed crop
         kernel's exact-sampling contract (their crops are border-clipped,
         so keypoints may be degraded). Shares the policy-observation
-        cadence: one extra device→host pull per `observe_every` batches."""
+        cadence: one extra device→host pull per `observe_every` batches.
+
+        Auto-degrade: once the sampled oversize rate exceeds
+        ``oversize_degrade_threshold`` (with at least
+        ``oversize_min_observed`` boxes seen), subsequent batches route to
+        the XLA indexed crop (exact at any box size; precompiled by
+        warmup). One-way per process: a stream whose geometry violated the
+        contract once is served exactly from then on."""
         max_h, max_w = self._box_limits
         boxes = np.asarray(out.boxes, np.float32)
         mask = np.asarray(out.mask, bool)
@@ -332,6 +374,29 @@ class TwoStageServer:
         over = ((h > max_h) | (w > max_w)) & mask
         self.oversize_boxes += int(over.sum())
         self.oversize_observed += int(mask.sum())
+        if (not self.crop_kernel_degraded
+                and self.oversize_observed >= self.oversize_min_observed
+                and self.oversize_boxes
+                > self.oversize_degrade_threshold * self.oversize_observed):
+            self.crop_kernel_degraded = True
+            self.crop_kernel_switches += 1
+
+    def latency_stats(self) -> dict:
+        """p50/p95/p99 of the sampled queue-inclusive batch latencies (ms),
+        per batch and per frame. None-valued when nothing was sampled."""
+        if not self.latencies:
+            return {"latency_samples": 0, "latency_batch_ms": None,
+                    "latency_frame_ms": None}
+        batch_ms = np.asarray([ms for _, ms in self.latencies], np.float64)
+        frame_ms = np.asarray([ms / max(1, b) for b, ms in self.latencies],
+                              np.float64)
+        pct = lambda a: {p: round(float(np.percentile(a, p)), 3)
+                         for p in (50, 95, 99)}
+        return {
+            "latency_samples": len(self.latencies),
+            "latency_batch_ms": pct(batch_ms),
+            "latency_frame_ms": pct(frame_ms),
+        }
 
     def stats(self) -> dict:
         """Serving counters for observability dashboards."""
@@ -357,4 +422,10 @@ class TwoStageServer:
                                else None),
             "oversize_observed": (self.oversize_observed if self.crop_kernel
                                   else None),
+            # whether the Pallas windowed crop is serving right now, and
+            # how many times the oversize policy demoted it to the XLA crop
+            "crop_kernel_active": (self.crop_kernel
+                                   and not self.crop_kernel_degraded),
+            "crop_kernel_switches": self.crop_kernel_switches,
+            **self.latency_stats(),
         }

@@ -186,3 +186,20 @@ def test_concurrent_submitters_all_resolve():
     for i, r in results.items():
         np.testing.assert_allclose(r["scores"], i / 10.0, atol=1e-6)
     assert st["frames"] == 8
+
+
+def test_request_latency_percentiles():
+    """Per-request submit→resolve latency is ring-buffered and surfaced as
+    p50/p95/p99 in stats() (VERDICT r3 #2)."""
+    run = _runner()
+    rng = np.random.default_rng(5)
+    frames = rng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32)
+    with MicroBatcher(run, bucket_sizes=(1, 2, 4), max_wait_ms=5) as mb:
+        futs = [mb.submit(f) for f in frames]
+        for f in futs:
+            f.result(timeout=120)
+        st = mb.stats()
+    d = st["request_ms"]
+    assert set(d) == {50, 95, 99}
+    assert d[50] > 0 and d[99] >= d[50]
+    assert len(mb.request_ms) == 4

@@ -302,3 +302,41 @@ def test_overflow_dropped_keypoints_are_zero_sentinels():
     # invalid slots are zero too
     if (~m).any():
         assert np.all(np.asarray(comp.keypoints)[~m] == 0.0)
+
+
+def test_kpt_pad_multiple_is_value_preserving():
+    """kpt_pad_multiple runs the keypoint net on a zero-padded crop buffer
+    (128-multiple scheduling A/B, VERDICT r3 #6) — outputs must be
+    unchanged vs the unpadded compacted pipeline."""
+    spec, yp, ys, rp, rs = _setup()
+    frames = jnp.asarray(
+        np.random.default_rng(7).uniform(0, 1, (4, 64, 64, 3)), jnp.float32
+    )
+    base = two_stage_pipeline(
+        spec, yp, ys, rp, rs, frames,
+        conf_thresh=0.3, nms_thresh=0.25, max_det=4, crop_capacity=3,
+    )
+    padded = two_stage_pipeline(
+        spec, yp, ys, rp, rs, frames,
+        conf_thresh=0.3, nms_thresh=0.25, max_det=4, crop_capacity=3,
+        kpt_pad_multiple=8,
+    )
+    np.testing.assert_array_equal(np.asarray(padded.mask),
+                                  np.asarray(base.mask))
+    np.testing.assert_array_equal(np.asarray(padded.boxes),
+                                  np.asarray(base.boxes))
+    np.testing.assert_allclose(np.asarray(padded.keypoints),
+                               np.asarray(base.keypoints),
+                               rtol=1e-5, atol=1e-5)
+    # multiple-of-pad capacity is a no-op (same program either way)
+    same = two_stage_pipeline(
+        spec, yp, ys, rp, rs, frames,
+        conf_thresh=0.3, nms_thresh=0.25, max_det=4, crop_capacity=8,
+        kpt_pad_multiple=8,
+    )
+    ref8 = two_stage_pipeline(
+        spec, yp, ys, rp, rs, frames,
+        conf_thresh=0.3, nms_thresh=0.25, max_det=4, crop_capacity=8,
+    )
+    np.testing.assert_array_equal(np.asarray(same.keypoints),
+                                  np.asarray(ref8.keypoints))

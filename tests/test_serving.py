@@ -297,3 +297,93 @@ def test_short_batch_pads_to_warmed_bucket_no_compile():
     srv2(frames2[:1])
     assert srv2.batch_pads == 0
     assert srv2.compiles == 1
+
+
+def test_latency_percentiles_in_stats():
+    """VERDICT r3 #2: the serving runtime must surface p50/p95/p99 batch
+    latency — SLA metric for the race-car deployment (the reference even
+    returns per-image seconds from validation, validate.py:178-182)."""
+    srv, frames = _server(policy=AdaptiveCapacity(floor=8, quantum=8,
+                                                  warmup_capacity=8),
+                          observe_every=1)
+    st0 = srv.stats()
+    assert st0["latency_samples"] == 0 and st0["latency_batch_ms"] is None
+    for _ in range(3):
+        srv(frames)
+    st = srv.stats()
+    assert st["latency_samples"] == 3
+    for key in ("latency_batch_ms", "latency_frame_ms"):
+        d = st[key]
+        assert set(d) == {50, 95, 99}
+        assert d[50] > 0 and d[99] >= d[50]
+    # per-frame = per-batch / B at a fixed batch size
+    assert st["latency_frame_ms"][50] == round(
+        st["latency_batch_ms"][50] / frames.shape[0], 3) or (
+        abs(st["latency_frame_ms"][50] * frames.shape[0]
+            - st["latency_batch_ms"][50]) < 0.01)
+
+
+def test_latency_sampled_on_observe_cadence():
+    """Latency sampling shares the observation cadence — it must not fence
+    every call (that would serialize the serving pipeline)."""
+    srv, frames = _server(policy=AdaptiveCapacity(floor=8, quantum=8,
+                                                  warmup_capacity=8),
+                          observe_every=4)
+    for _ in range(8):
+        srv(frames)
+    # call 1 (first-observation special case), 4 and 8 observe → 3 samples
+    assert srv.stats()["latency_samples"] == 3
+
+
+def test_crop_kernel_auto_degrades_on_oversize():
+    """VERDICT r3 #8: when the sampled oversize-box rate breaks the
+    windowed crop kernel's contract, the server must route subsequent
+    batches to the XLA indexed crop on its own (both variants precompiled
+    by warmup) and count the switch in stats()."""
+    from mit_driverless_cv_traininginfra_tpu.infer.pipeline import (
+        PipelineOut,
+    )
+
+    srv, frames = _server(policy=AdaptiveCapacity(floor=8, quantum=8,
+                                                  warmup_capacity=8),
+                          observe_every=1)
+    # arm the windowed-kernel watch manually: the 64x64 fixture frames
+    # cannot host the 256-row DMA window, but the degrade policy itself is
+    # geometry-independent (it reads only boxes + limits)
+    srv.crop_kernel = True
+    srv._box_limits = (240.0, 211.0)
+    srv.oversize_min_observed = 4
+    srv.oversize_degrade_threshold = 0.02
+
+    B, K = 2, 4
+    ok_boxes = np.zeros((B, K, 4), np.float32)
+    ok_boxes[..., 2] = 50.0                       # w=50, h=40: in contract
+    ok_boxes[..., 3] = 40.0
+    mask = np.zeros((B, K), bool)
+    mask[:, :2] = True
+    zeros = jnp.zeros((B, K), jnp.float32)
+    kpts = jnp.zeros((B, K, 7, 2), jnp.float32)
+    srv._observe_oversize(PipelineOut(jnp.asarray(ok_boxes), zeros,
+                                      jnp.asarray(mask), kpts))
+    assert not srv.crop_kernel_degraded
+    assert srv.stats()["crop_kernel_active"] is True
+
+    bad_boxes = ok_boxes.copy()
+    bad_boxes[..., 3] = 300.0                     # h=300 > 240: oversize
+    srv._observe_oversize(PipelineOut(jnp.asarray(bad_boxes), zeros,
+                                      jnp.asarray(mask), kpts))
+    assert srv.crop_kernel_degraded
+    assert srv.crop_kernel_switches == 1
+    st = srv.stats()
+    assert st["crop_kernel_active"] is False
+    assert st["crop_kernel_switches"] == 1
+    assert st["oversize_boxes"] == 4 and st["oversize_observed"] == 8
+
+    # degraded serving routes to the XLA indexed crop — the call must
+    # succeed even though the windowed kernel can't run on this geometry
+    out = srv(frames)
+    assert out.boxes.shape == (B, srv.max_det, 4)
+    # one-way switch: further oversize observations don't re-count
+    srv._observe_oversize(PipelineOut(jnp.asarray(bad_boxes), zeros,
+                                      jnp.asarray(mask), kpts))
+    assert srv.crop_kernel_switches == 1
