@@ -265,6 +265,13 @@ def main():
     conf_thresh, prenms_per_frame = _pick_conf_thresh(
         spec, folded, packed, frames32, max_det)
 
+    # --kpt-pad N: run RektNet on the crop buffer zero-padded to the next
+    # N-multiple while the crop gather stays at the fine-grained capacity
+    # (the capacity-quantum-slack A/B, VERDICT r3 #6). 0 = off. Parsed
+    # before the run() closures — they capture it.
+    kpt_pad = (int(sys.argv[sys.argv.index("--kpt-pad") + 1])
+               if "--kpt-pad" in sys.argv else 0)
+
     use_int8 = on_tpu and "--bf16" not in sys.argv
     # windowed-DMA Pallas crop (ops/pallas_crop.py): bit-exact in-contract,
     # measured 1.3-1.55x vs the indexed crop standalone (r3). Default ON on
@@ -342,11 +349,6 @@ def main():
                    if "--cap-quantum" in sys.argv else 32)
     if cap_quantum < 1:
         raise SystemExit(f"--cap-quantum must be >= 1, got {cap_quantum}")
-    # --kpt-pad N: run RektNet on the crop buffer zero-padded to the next
-    # N-multiple while the crop gather stays at the fine-grained capacity
-    # (the capacity-quantum-slack A/B, VERDICT r3 #6). 0 = off.
-    kpt_pad = (int(sys.argv[sys.argv.index("--kpt-pad") + 1])
-               if "--kpt-pad" in sys.argv else 0)
     if on_tpu:
         # crop compaction: RektNet runs on the valid crops only (the r1
         # breakdown showed masked padding slots were 57% of e2e time).
