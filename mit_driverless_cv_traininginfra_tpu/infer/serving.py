@@ -11,8 +11,9 @@ server process needs around it:
 - ``warmup()`` — precompile the bucket lattice up front so NOTHING
   compiles on the serving path (a cold compile through the axon tunnel
   takes minutes; on a race car that's a dropped session),
-- periodic load observation (a single device→host scalar every
-  ``observe_every`` batches — off the hot path).
+- periodic load observation (one batched device→host read every
+  ``observe_every`` batches, DEFERRED by one cycle so the read overlaps
+  queued device work instead of draining it — see ``defer_observation``).
 
 Usage::
 
@@ -67,6 +68,7 @@ class TwoStageServer:
                  oversize_degrade_threshold: float = 0.02,
                  oversize_min_observed: int = 256,
                  latency_window: int = 256,
+                 defer_observation: bool = True,
                  mesh=None):
         if (yolo_q is None) == (yolo_params is None):
             raise ValueError("pass exactly one of yolo_q (int8) or "
@@ -146,6 +148,21 @@ class TwoStageServer:
         # (batch, ms) pairs so per-frame percentiles stay honest when the
         # batch size varies
         self.latencies: deque[tuple[int, float]] = deque(maxlen=latency_window)
+        # deferred observation (default): an observing batch's outputs are
+        # stashed and materialized one observation-cycle LATER, just before
+        # the next observing dispatch — by then its compute is long done and
+        # the device still has a full cycle of queued batches, so the
+        # device→host read overlaps compute instead of draining the queue.
+        # Measured on chip (tools/bench_serve_decomp.py, B=128 int8):
+        # raw loop 2323 fps, deferred 2313 (−0.4%), immediate fence 2172
+        # (−6.5%) at observe_every=8 — the deferred read keeps the device
+        # busy. The reported latency is the dispatch→materialize wall of
+        # the deeper pipeline (slightly above the fenced number — the
+        # honest figure for this mode).
+        # defer_observation=False restores the immediate fence (lower
+        # latency, lower throughput — the latency-SLA operating point).
+        self.defer_observation = defer_observation
+        self._pending: Optional[tuple] = None  # (t0, B0, cap, PipelineOut)
         if self.crop_kernel:
             from mit_driverless_cv_traininginfra_tpu.ops.pallas_crop import (
                 crop_kernel_box_limits,
@@ -334,31 +351,64 @@ class TwoStageServer:
             self.compiles += 1
             self.seen.add((B, cap))
         self.current_capacity = cap
-        observing = ((self.calls + 1) % self.observe_every == 0
-                     or len(self.policy.loads) == 0)
+        # bootstrap: the first-ever observation is taken IMMEDIATELY even in
+        # deferred mode — the policy needs one load sample before it can
+        # size capacity, and a single fence once per process is free
+        bootstrap = (len(self.policy.loads) == 0 and self._pending is None)
+        observing = (self.calls + 1) % self.observe_every == 0 or bootstrap
+        if observing and self.defer_observation:
+            # read LAST cycle's stashed outputs before dispatching: their
+            # compute finished ~observe_every batches ago, so this is a
+            # transfer, not a queue drain — the device keeps crunching the
+            # still-queued batches while the host blocks here
+            self._materialize_pending()
         t0 = time.perf_counter() if observing else None
         full = self._run(frames, cap)
         out = (full if B == B0
                else PipelineOut(*(x[:B0] for x in full)))
         self.calls += 1
         if observing:
-            # observe_mask's np.asarray is the device→host fence: between
-            # t0 and here the dispatched program (plus any queued backlog)
-            # actually ran, so this is a queue-inclusive batch latency —
-            # the number a deployer's SLA cares about
-            self.policy.observe_mask(out.mask, cap)
-            self.latencies.append((B0, (time.perf_counter() - t0) * 1000.0))
-            if B != B0:
-                self.pad_spurious += int(np.asarray(full.mask[B0:]).sum())
-            if self._box_limits is not None:
-                self._observe_oversize(out)
+            if self.defer_observation and not bootstrap:
+                self._pending = (t0, B0, cap, full)
+            else:
+                # immediate fence: observe_mask's np.asarray waits for the
+                # dispatched program plus any queued backlog, so this is an
+                # exact queue-inclusive batch latency — at the cost of
+                # draining the device queue every sample (measured −6.5%
+                # fps at observe_every=8; see defer_observation)
+                self._observe(t0, B0, cap, full)
         return out
 
-    def _observe_oversize(self, out: PipelineOut) -> None:
+    def _materialize_pending(self) -> None:
+        """Materialize the stashed observation, if any (device→host read)."""
+        if self._pending is not None:
+            pend, self._pending = self._pending, None
+            self._observe(*pend)
+
+    def _observe(self, t0: float, B0: int, cap: int, full: PipelineOut) -> None:
+        """Pull one batch's outputs to host and feed every observer: the
+        capacity policy (mask sum), the latency ring, pad-spurious, and the
+        oversize watch. ONE batched transfer (jax.device_get of the tuple)
+        instead of the three separate pulls each observer would make."""
+        import jax
+
+        if self._box_limits is not None:
+            mask_np, boxes_np = jax.device_get((full.mask, full.boxes))
+        else:
+            mask_np, boxes_np = np.asarray(full.mask), None
+        self.latencies.append((B0, (time.perf_counter() - t0) * 1000.0))
+        mask_np = np.asarray(mask_np, bool)
+        self.policy.observe(int(mask_np.sum()), cap)
+        if mask_np.shape[0] != B0:
+            self.pad_spurious += int(mask_np[B0:].sum())
+        if boxes_np is not None:
+            self._observe_oversize(mask_np, np.asarray(boxes_np, np.float32))
+
+    def _observe_oversize(self, mask: np.ndarray, boxes: np.ndarray) -> None:
         """Count valid detections whose box exceeds the windowed crop
         kernel's exact-sampling contract (their crops are border-clipped,
         so keypoints may be degraded). Shares the policy-observation
-        cadence: one extra device→host pull per `observe_every` batches.
+        cadence AND its single batched transfer (``_observe``).
 
         Auto-degrade: once the sampled oversize rate exceeds
         ``oversize_degrade_threshold`` (with at least
@@ -367,8 +417,6 @@ class TwoStageServer:
         warmup). One-way per process: a stream whose geometry violated the
         contract once is served exactly from then on."""
         max_h, max_w = self._box_limits
-        boxes = np.asarray(out.boxes, np.float32)
-        mask = np.asarray(out.mask, bool)
         h = boxes[..., 3] - boxes[..., 1]
         w = boxes[..., 2] - boxes[..., 0]
         over = ((h > max_h) | (w > max_w)) & mask
@@ -383,7 +431,10 @@ class TwoStageServer:
 
     def latency_stats(self) -> dict:
         """p50/p95/p99 of the sampled queue-inclusive batch latencies (ms),
-        per batch and per frame. None-valued when nothing was sampled."""
+        per batch and per frame. None-valued when nothing was sampled.
+        Materializes any stashed deferred observation first (one
+        device→host read), so the freshest sample is included."""
+        self._materialize_pending()
         if not self.latencies:
             return {"latency_samples": 0, "latency_batch_ms": None,
                     "latency_frame_ms": None}
@@ -399,7 +450,9 @@ class TwoStageServer:
         }
 
     def stats(self) -> dict:
-        """Serving counters for observability dashboards."""
+        """Serving counters for observability dashboards. Materializes any
+        stashed deferred observation first so every counter is current."""
+        self._materialize_pending()
         return {
             "calls": self.calls,
             "compiles": self.compiles,

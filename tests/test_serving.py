@@ -340,10 +340,6 @@ def test_crop_kernel_auto_degrades_on_oversize():
     windowed crop kernel's contract, the server must route subsequent
     batches to the XLA indexed crop on its own (both variants precompiled
     by warmup) and count the switch in stats()."""
-    from mit_driverless_cv_traininginfra_tpu.infer.pipeline import (
-        PipelineOut,
-    )
-
     srv, frames = _server(policy=AdaptiveCapacity(floor=8, quantum=8,
                                                   warmup_capacity=8),
                           observe_every=1)
@@ -361,17 +357,13 @@ def test_crop_kernel_auto_degrades_on_oversize():
     ok_boxes[..., 3] = 40.0
     mask = np.zeros((B, K), bool)
     mask[:, :2] = True
-    zeros = jnp.zeros((B, K), jnp.float32)
-    kpts = jnp.zeros((B, K, 7, 2), jnp.float32)
-    srv._observe_oversize(PipelineOut(jnp.asarray(ok_boxes), zeros,
-                                      jnp.asarray(mask), kpts))
+    srv._observe_oversize(mask, ok_boxes)
     assert not srv.crop_kernel_degraded
     assert srv.stats()["crop_kernel_active"] is True
 
     bad_boxes = ok_boxes.copy()
     bad_boxes[..., 3] = 300.0                     # h=300 > 240: oversize
-    srv._observe_oversize(PipelineOut(jnp.asarray(bad_boxes), zeros,
-                                      jnp.asarray(mask), kpts))
+    srv._observe_oversize(mask, bad_boxes)
     assert srv.crop_kernel_degraded
     assert srv.crop_kernel_switches == 1
     st = srv.stats()
@@ -384,6 +376,51 @@ def test_crop_kernel_auto_degrades_on_oversize():
     out = srv(frames)
     assert out.boxes.shape == (B, srv.max_det, 4)
     # one-way switch: further oversize observations don't re-count
-    srv._observe_oversize(PipelineOut(jnp.asarray(bad_boxes), zeros,
-                                      jnp.asarray(mask), kpts))
+    srv._observe_oversize(mask, bad_boxes)
     assert srv.crop_kernel_switches == 1
+
+
+def test_deferred_observation_matches_fenced_counters():
+    """defer_observation (default) stashes an observing batch's outputs and
+    materializes them one observation-cycle later so the device->host read
+    overlaps queued device work (on chip: fence costs 6.5% fps at
+    observe_every=8, deferred 0.4% — tools/bench_serve_decomp.py). The
+    observer STREAM must be
+    identical to the immediate-fence mode: same load samples, same
+    pad-spurious, same oversize counts — only the read timing moves."""
+    pol_kw = dict(floor=8, quantum=8, warmup_capacity=8)
+    srv_d, frames = _server(policy=AdaptiveCapacity(**pol_kw),
+                            observe_every=2, defer_observation=True)
+    srv_f, _ = _server(policy=AdaptiveCapacity(**pol_kw),
+                       observe_every=2, defer_observation=False)
+
+    # bootstrap call observes IMMEDIATELY in both modes (the policy needs
+    # a load sample before it can size capacity)
+    srv_d(frames)
+    srv_f(frames)
+    assert len(srv_d.policy.loads) == 1 == len(srv_f.policy.loads)
+    assert srv_d._pending is None
+
+    # next observing call (call 2): deferred stashes, fenced lands now
+    srv_d(frames)
+    srv_f(frames)
+    assert len(srv_f.policy.loads) == 2
+    assert len(srv_d.policy.loads) == 1 and srv_d._pending is not None
+
+    # the stash materializes at the NEXT observing call (call 4)
+    srv_d(frames)                                  # call 3: not observing
+    assert srv_d._pending is not None
+    srv_f(frames)
+    srv_d(frames)                                  # call 4: observe + stash
+    srv_f(frames)
+    assert len(srv_d.policy.loads) == 2
+
+    # stats() materializes the pending sample so counters are current
+    st_d, st_f = srv_d.stats(), srv_f.stats()
+    assert srv_d._pending is None
+    assert st_d["observations"] == st_f["observations"] == 3
+    assert srv_d.policy.loads == srv_f.policy.loads
+    assert st_d["latency_samples"] == st_f["latency_samples"] == 3
+    assert st_d["oversize_boxes"] == st_f["oversize_boxes"]
+    # stats() twice is idempotent (no pending left to materialize)
+    assert srv_d.stats()["observations"] == 3
