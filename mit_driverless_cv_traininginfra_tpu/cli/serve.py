@@ -133,11 +133,30 @@ def main(argv=None) -> int:
                         help="write per-detection rows (frame, box, conf, "
                              "7 keypoints) in source pixels")
     parser.add_argument("--observe_every", type=int, default=8)
+    parser.add_argument("--inflight", type=int, default=1,
+                        help="batches kept in flight before fencing the "
+                             "oldest (higher = more device overlap, more "
+                             "result latency; results stay in order)")
+    parser.add_argument("--syn_repeat", type=int, default=1,
+                        help="cycle the synthetic scenes this many times "
+                             "(render once, serve N*R frames) — drives the "
+                             "server at device rate on hosts whose single "
+                             "core cannot render scenes at chip speed")
     parser.add_argument("--mesh", type=int, default=0,
                         help="shard each batch over the first N devices "
                              "(0 = single device); the fused pipeline "
                              "SPMD-partitions over ICI")
     add_bool_arg(parser, "vanilla_anchor", False, "use the vanilla anchors")
+    add_bool_arg(parser, "feed_uint8", True,
+                 "ship frames to the device as uint8 and normalize there "
+                 "(4x fewer host->device bytes than f32, 2x vs bf16; "
+                 "matches the float feed to 1 ulp of the /255 — the "
+                 "pipeline normalizes in f32 on device)")
+    add_bool_arg(parser, "device_cache", False,
+                 "synthetic source only: stage the rendered scenes on the "
+                 "device once and cycle them — measures the device-rate "
+                 "ceiling through the server (no per-batch host->device "
+                 "frame transfer)")
     add_bool_arg(parser, "warmup", True,
                  "precompile the bucket lattice before serving")
     add_bool_arg(parser, "prefetch", True,
@@ -213,20 +232,23 @@ def main(argv=None) -> int:
         native_letterbox = None
 
     def boxed(img_np):
-        """letterbox one RGB uint8 frame to (H, W) [0,1] f32 + its geometry.
+        """letterbox one RGB uint8 frame to (H, W) + its geometry.
 
         Host-side on purpose: the jnp letterbox would be one device
         dispatch PER FRAME — ~20 ms RTT each through the axon tunnel,
         dwarfing the pipeline itself. Uses the C++ core when built
         (cv2-exact, the data pipeline's default), PIL otherwise; geometry
         comes from calculate_padding — the same formula both letterboxes
-        implement (pinned by the data-pipeline tests)."""
+        implement (pinned by the data-pipeline tests). With
+        ``--feed_uint8`` (default) the frame stays uint8 — normalization
+        happens on device inside the pipeline program (1-ulp-identical,
+        4x fewer wire bytes than f32); otherwise [0,1] f32."""
         h, w = img_np.shape[:2]
         geom = calculate_padding(h, w, H, W)
         if (h, w) == (H, W):
             # already model-sized (the synthetic source): skip the resize
-            return img_np.astype(np.float32) / 255.0, geom
-        if native_letterbox is not None:
+            out = img_np
+        elif native_letterbox is not None:
             out = native_letterbox(np.ascontiguousarray(img_np), H, W)
         else:
             pad_h, pad_w, _ = geom
@@ -235,6 +257,8 @@ def main(argv=None) -> int:
                                (127, 127, 127))
             padded.paste(im, (pad_w, pad_h))
             out = np.asarray(padded.resize((W, H), Image.BILINEAR))
+        if opt.feed_uint8:
+            return out, geom
         return out.astype(np.float32) / 255.0, geom
 
     if opt.source.startswith("synthetic:"):
@@ -250,13 +274,19 @@ def main(argv=None) -> int:
 
         def _syn_frames():
             rng = np.random.default_rng(42)
-            made = 0
+            made, cache = 0, []
             while made < n_syn:
                 k = min(64, n_syn - made)
                 imgs, _ = _syn_batch(rng, k, size=H)
                 for i in range(k):
-                    yield made + i, (imgs[i] * 255).astype(np.uint8)
+                    frame = (imgs[i] * 255).astype(np.uint8)
+                    if opt.syn_repeat > 1:
+                        cache.append(frame)
+                    yield made + i, frame
                 made += k
+            for r in range(1, opt.syn_repeat):
+                for i, frame in enumerate(cache):
+                    yield r * n_syn + i, frame
 
         frames_it = _syn_frames()
     else:
@@ -286,7 +316,10 @@ def main(argv=None) -> int:
         if not lead:
             print("ERROR: empty source", file=sys.stderr)
             return 1
-        cal = jnp.asarray(np.stack([f for _, f, _ in lead]), jnp.float32)
+        cal_np = np.stack([f for _, f, _ in lead]).astype(np.float32)
+        if opt.feed_uint8:
+            cal_np /= 255.0     # calibration always sees [0,1] f32 frames
+        cal = jnp.asarray(cal_np, jnp.float32)
         amax = calibrate(spec, folded, cal)
         yolo_q = quantize_params(spec, folded, amax)
         stem_q = (quantize_packed_stem(packed, amax)
@@ -296,7 +329,7 @@ def main(argv=None) -> int:
         rng = np.random.default_rng(0)
         crops = []
         for _ in range(32):
-            _, f, _ = lead[rng.integers(len(lead))]
+            f = cal_np[rng.integers(len(lead))]   # [0,1] f32 view of lead
             y = rng.integers(0, max(1, H - 80))
             x = rng.integers(0, max(1, W - 80))
             crops.append(f[y:y + 80, x:x + 80])
@@ -324,11 +357,18 @@ def main(argv=None) -> int:
             max_det=opt.max_det, policy=AdaptiveCapacity(),
             observe_every=opt.observe_every, mesh=mesh)
 
+    # the WIRE dtype: what actually crosses host->device per batch. uint8
+    # (default) is normalized on device inside the pipeline program —
+    # 1-ulp-identical to shipping [0,1] floats, at 4x (vs f32) / 2x (vs
+    # bf16) fewer bytes per frame. jit caches key on dtype, so warmup
+    # must compile the same wire dtype serving uses.
+    wire_dtype = jnp.uint8 if opt.feed_uint8 else serve_dtype
+
     B = opt.batch_size
     if opt.warmup:
         caps = ([int(c) for c in opt.capacities.split(",") if c]
                 if opt.capacities else None)
-        secs = server.warmup([B], capacities=caps, frame_dtype=serve_dtype)
+        secs = server.warmup([B], capacities=caps, frame_dtype=wire_dtype)
         print(f"warmup: {sorted(server.warmed)} in {secs:.1f}s",
               file=sys.stderr)
 
@@ -375,12 +415,15 @@ def main(argv=None) -> int:
             fb, geom = boxed(img)
             yield idx, fb, geom
 
+    from collections import deque
+
     n_frames = 0
-    t0 = time.perf_counter()
     pend_i, pend_f, pend_g = [], [], []
-    inflight = None   # (idxs, geoms, out, n, t_dispatch) — one batch of
-    #                   latency keeps the device busy while the host
-    #                   assembles the next
+    # dispatched batches whose results haven't been pulled yet: keeping
+    # `--inflight` batches of latency in the pipe lets the device crunch
+    # batch N while the host pulls batch N-depth (results stay in order)
+    inflight: deque = deque()
+    depth = max(0, opt.inflight)
     batch_lat_ms: list = []   # dispatch→results-on-host wall per batch
 
     def finish(entry):
@@ -389,28 +432,54 @@ def main(argv=None) -> int:
         batch_lat_ms.append((time.perf_counter() - entry[4]) * 1000.0)
         n_frames += entry[3]
 
+    def dispatch(idxs, geoms, dev_frames):
+        t_disp = time.perf_counter()
+        out = server(dev_frames)                       # async dispatch
+        inflight.append((idxs, geoms, out, len(idxs), t_disp))
+        while len(inflight) > depth:
+            finish(inflight.popleft())                 # fences oldest
+
     def flush():
-        nonlocal inflight
         if not pend_i:
             return
         batch = np.stack(pend_f)
-        t_disp = time.perf_counter()
-        out = server(jnp.asarray(batch, serve_dtype))  # async dispatch
-        prev = inflight
-        inflight = (list(pend_i), list(pend_g), out, len(pend_i), t_disp)
+        dispatch(list(pend_i), list(pend_g),
+                 jnp.asarray(batch, wire_dtype))
         pend_i.clear(), pend_f.clear(), pend_g.clear()
-        if prev is not None:
-            finish(prev)                               # fences batch N-1
 
-    stream = (_prefetch(decoded(), depth=2 * B) if opt.prefetch
-              else decoded())
-    for idx, fb, geom in stream:
-        pend_i.append(idx), pend_f.append(fb), pend_g.append(geom)
-        if len(pend_i) == B:
-            flush()
-    flush()
-    if inflight is not None:
-        finish(inflight)
+    if opt.device_cache:
+        # stage the scenes on the device ONCE (untimed, like warmup), then
+        # cycle them for syn_repeat passes: the device-rate ceiling through
+        # the FULL server — policy, counters, per-batch output pulls — with
+        # no per-batch host->device frame transfer
+        if not opt.source.startswith("synthetic:"):
+            raise SystemExit("--device_cache requires a synthetic source")
+        staged = []
+        n_stage = max(1, n_syn // B)
+        for idx, fb, geom in decoded():
+            pend_i.append(idx), pend_f.append(fb), pend_g.append(geom)
+            if len(pend_i) == B:
+                dev = jnp.asarray(np.stack(pend_f), wire_dtype)
+                staged.append((list(pend_i), list(pend_g), dev))
+                pend_i.clear(), pend_f.clear(), pend_g.clear()
+                if len(staged) == n_stage:
+                    break
+        float(jnp.sum(staged[-1][2].astype(jnp.float32)))  # fence staging
+        t0 = time.perf_counter()
+        for r in range(opt.syn_repeat):
+            for idxs, geoms, dev in staged:
+                dispatch(idxs, geoms, dev)
+    else:
+        t0 = time.perf_counter()
+        stream = (_prefetch(decoded(), depth=2 * B) if opt.prefetch
+                  else decoded())
+        for idx, fb, geom in stream:
+            pend_i.append(idx), pend_f.append(fb), pend_g.append(geom)
+            if len(pend_i) == B:
+                flush()
+        flush()
+    while inflight:
+        finish(inflight.popleft())
     wall = time.perf_counter() - t0
 
     if csv_f is not None:

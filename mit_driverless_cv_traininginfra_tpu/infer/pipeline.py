@@ -157,7 +157,18 @@ def two_stage_pipeline(
     ``packed_stem``: optional space-to-depth stem weights (stem_opt) for the
     serving path — exact rewrite, ~35% backbone speedup on v5e.
     ``crop_capacity``: cap the batch-total keypoint crops (see
-    :func:`_keypoints_compacted`)."""
+    :func:`_keypoints_compacted`).
+
+    uint8 frames are accepted as a wire-efficient feed (4x fewer
+    host→device bytes than f32 — the axon tunnel and a real host's PCIe
+    are both per-byte costs): normalized on device in f32 then cast to
+    the params' float dtype. Matches the host f32/255 feed to 1 ulp of
+    the normalize (XLA folds /255 into a reciprocal multiply — measured
+    6e-8; tests/test_pipeline.py pins identical detection masks)."""
+    if frames.dtype == jnp.uint8:
+        fdt = next(l.dtype for l in jax.tree_util.tree_leaves(yolo_params)
+                   if jnp.issubdtype(l.dtype, jnp.floating))
+        frames = (frames.astype(jnp.float32) / 255.0).astype(fdt)
     dets = yolo_detections(spec, yolo_params, yolo_state, frames,
                            packed_stem=packed_stem, with_classes=False)
     boxes, scores, mask = _postprocess(dets, conf_thresh, nms_thresh, max_det)
@@ -210,6 +221,11 @@ def two_stage_pipeline_int8(
         detections_int8,
     )
 
+    if frames.dtype == jnp.uint8:
+        # wire-efficient uint8 feed: normalize on device in f32 then cast
+        # to bf16 — matches the host f32/255 → bf16 path this config is
+        # otherwise fed with to 1 ulp (see two_stage_pipeline docstring)
+        frames = (frames.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
     dets = detections_int8(spec, yolo_q, frames, packed_stem_q=stem_q,
                            with_classes=False, entry_q=entry_q)
     boxes, scores, mask = _postprocess(dets, conf_thresh, nms_thresh, max_det)

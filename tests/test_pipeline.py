@@ -340,3 +340,57 @@ def test_kpt_pad_multiple_is_value_preserving():
     )
     np.testing.assert_array_equal(np.asarray(same.keypoints),
                                   np.asarray(ref8.keypoints))
+
+
+def test_uint8_feed_matches_host_normalize():
+    """uint8 frames are a wire-efficient feed (serve CLI default): the
+    pipeline normalizes on device in f32 then casts to the params' float
+    dtype. XLA folds the /255 into a reciprocal multiply, so the inputs
+    match the host f32/255 feed to 1 ulp (measured 6e-8) — downstream
+    compute is the same program, so outputs must agree to float-noise
+    tolerance with identical detection masks."""
+    from mit_driverless_cv_traininginfra_tpu.infer.pipeline import (
+        two_stage_pipeline_int8,
+    )
+    from mit_driverless_cv_traininginfra_tpu.models.darknet import fold_bn
+    from mit_driverless_cv_traininginfra_tpu.models.quantize import (
+        calibrate,
+        calibrate_rektnet,
+        quantize_params,
+        quantize_rektnet_params,
+    )
+
+    spec, yp, ys, rp, rs = _setup()
+    u8 = np.random.default_rng(7).integers(0, 256, (2, 64, 64, 3),
+                                           dtype=np.uint8)
+    f32 = jnp.asarray(u8.astype(np.float32) / 255.0)
+
+    a = two_stage_pipeline(spec, yp, ys, rp, rs, jnp.asarray(u8),
+                           conf_thresh=0.0, nms_thresh=0.25, max_det=4)
+    b = two_stage_pipeline(spec, yp, ys, rp, rs, f32,
+                           conf_thresh=0.0, nms_thresh=0.25, max_det=4)
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x, np.float32),
+                                   np.asarray(y, np.float32),
+                                   rtol=1e-4, atol=1e-4)
+
+    folded = fold_bn(yp, ys, spec)
+    amax = calibrate(spec, folded, f32)
+    yq = quantize_params(spec, folded, amax)
+    rpf = rektnet.fold_bn(rp, rs)
+    rq = quantize_rektnet_params(
+        rpf, calibrate_rektnet(rpf, f32[:, :40, :40, :]))
+    a8 = two_stage_pipeline_int8(spec, yq, None, rq, jnp.asarray(u8),
+                                 conf_thresh=0.0, nms_thresh=0.25, max_det=4)
+    b8 = two_stage_pipeline_int8(spec, yq, None, rq,
+                                 f32.astype(jnp.bfloat16),
+                                 conf_thresh=0.0, nms_thresh=0.25, max_det=4)
+    # int8 path: the 1-ulp f32 normalize difference is mostly absorbed by
+    # the bf16 cast; the first conv's int8 quantization grid absorbs the
+    # rest at all but exact rounding boundaries
+    np.testing.assert_array_equal(np.asarray(a8.mask), np.asarray(b8.mask))
+    for x, y in zip(a8, b8):
+        np.testing.assert_allclose(np.asarray(x, np.float32),
+                                   np.asarray(y, np.float32),
+                                   rtol=1e-3, atol=1e-3)

@@ -63,6 +63,79 @@ def test_serve_cli_image_dir(tmp_path, capsys):
     assert header.startswith("frame,det,x1,y1,x2,y2,conf,kp0_x")
 
 
+def test_serve_cli_uint8_feed_matches_f32(tmp_path, capsys):
+    """--feed_uint8 (default) ships uint8 over the wire and normalizes on
+    device in f32 — 1-ulp-identical to the host f32/255 feed (XLA folds
+    /255 into a reciprocal multiply), far inside the CSV's %.2f rounding,
+    so the CSVs must match exactly. Also pins that warmup compiled the
+    uint8 program (dtype keys the jit cache): compiles stays 0."""
+    spec = load_network_spec(FIXTURE, vanilla_anchor=True)
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    w = str(tmp_path / "tiny.weights")
+    save_darknet_weights(spec, params, state, w)
+    rp, rs = rektnet.init(jax.random.PRNGKey(1))
+    pt = str(tmp_path / "rekt.pt")
+    save_rektnet_pt(pt, rp, rs)
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(
+            rng.integers(0, 255, (80, 100, 3), dtype=np.uint8)
+        ).save(src / f"f{i}.png")
+
+    outs = {}
+    for name, extra in (("u8", ["--feed_uint8"]),
+                        ("f32", ["--no_feed_uint8"])):
+        csv = str(tmp_path / f"dets_{name}.csv")
+        rc = serve.main([
+            "--source", str(src), "--model_cfg", FIXTURE,
+            "--yolo_weights", w, "--rektnet_weights", pt,
+            "--precision", "f32", "--batch_size", "2",
+            "--conf_thres", "0.1", "--max_det", "4",
+            "--capacities", "8", "--output_csv", csv, "--vanilla_anchor",
+        ] + extra)
+        assert rc == 0
+        summary = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["compiles"] == 0
+        with open(csv) as f:
+            outs[name] = f.read()
+    assert outs["u8"] == outs["f32"]
+
+
+def test_serve_cli_synthetic_device_cache(tmp_path, capsys):
+    """synthetic:N + --device_cache stages the scenes on the device once
+    and cycles them --syn_repeat times: the device-rate measurement mode
+    (no per-batch host->device frame transfer). Exercises int8 PTQ
+    calibration from the synthetic lead frames too."""
+    spec = load_network_spec(FIXTURE, vanilla_anchor=True)
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    w = str(tmp_path / "tiny.weights")
+    save_darknet_weights(spec, params, state, w)
+    rp, rs = rektnet.init(jax.random.PRNGKey(1))
+    pt = str(tmp_path / "rekt.pt")
+    save_rektnet_pt(pt, rp, rs)
+
+    rc = serve.main([
+        "--source", "synthetic:4", "--syn_repeat", "3",
+        "--device_cache", "--inflight", "2",
+        "--model_cfg", FIXTURE,
+        "--yolo_weights", w, "--rektnet_weights", pt,
+        "--precision", "int8", "--batch_size", "2",
+        "--calib_frames", "2",
+        "--conf_thres", "0.1", "--max_det", "4",
+        "--capacities", "8", "--vanilla_anchor",
+        "--assert_no_compiles",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["frames"] == 12        # 4 scenes x 3 cycles
+    assert summary["compiles"] == 0
+    assert summary["calls"] == 6
+
+
 def test_serve_cli_mesh_matches_single_device(tmp_path, capsys):
     """--mesh N shards each batch over the first N (virtual CPU) devices;
     the fused pipeline is per-sample independent, so the CSV detections
