@@ -524,9 +524,18 @@ def main():
                                         warmup_capacity=cap),
                 observe_every=8, crop_kernel=kernel_active)
             wsecs = server.warmup([batch], capacities=[cap])
-            ts = time.perf_counter()
+            # 5 untimed calls restart the dispatch pipeline after warmup's
+            # fence, then a 64-deep timed window — a 20-call window right
+            # after warmup measures one queue drain, not the server
+            # (PERF.md "Measurement discipline": the first cut of this
+            # block read 134 fps that way)
             sout = None
-            for _ in range(iters):
+            for _ in range(5):
+                sout = server(frames)
+            _sync(sout.keypoints, sout.scores)
+            s_iters = 64
+            ts = time.perf_counter()
+            for _ in range(s_iters):
                 sout = server(frames)
             _sync(sout.keypoints, sout.scores)
             sdt = time.perf_counter() - ts
@@ -534,7 +543,7 @@ def main():
             assert st["compiles"] == 0, (
                 f"serving path compiled after warmup: {st}")
             out_json["serve"] = {
-                "fps": round(batch * iters / sdt, 2),
+                "fps": round(batch * s_iters / sdt, 2),
                 "warmup_s": round(wsecs, 2),
                 "compiles_after_warmup": st["compiles"],
                 "latency_batch_ms": st["latency_batch_ms"],
