@@ -20,6 +20,11 @@ Usage:
 Exit status 0 always (the table is the product). A probe whose status
 differs from the r2 expectation is flagged CHANGED, and blocked designs
 whose gating probes now pass are listed at the end.
+
+Run on a QUIET host: on this 1-core box a concurrent pytest suite
+starves the probe subprocesses into spurious TIMEOUTs on probes that
+pass in isolation (observed r4 close; re-running the four "changed"
+probes alone read PASS).
 """
 
 import argparse
