@@ -6,9 +6,25 @@ The reference's only parallelism is single-process data parallelism
 a 1-D ``Mesh`` over all chips, batch arrays sharded on the ``data`` axis,
 params/state replicated, and ONE ``jax.jit`` of the whole train step — XLA
 inserts the gradient all-reduce over ICI itself (psum on the backward pass),
-overlapping it with computation. No other parallelism axes are introduced:
-the models are small CNNs and capability parity requires exactly DP
-(SURVEY.md §2.5).
+overlapping it with computation. DP is the parity surface (SURVEY.md §2.5)
+and the right default for these model sizes.
+
+Beyond parity, two more TPU-native axes are exposed over a 2-D
+``(data, model)`` mesh — both pure placement changes on the SAME jitted
+step functions (GSPMD inserts the collectives; no model code changes):
+
+- **Tensor parallel** (``shard_channels``): conv kernels sharded on the
+  output-channel dim over ``model``, per-channel vectors (bias / BN
+  scale / BN running stats / Adam moments) sharded to match. Splits the
+  weight and optimizer memory footprint across chips — the lever when a
+  future model no longer fits one chip's HBM.
+- **Spatial parallel** (``shard_spatial``): NHWC image batches sharded on
+  the height dim over ``model``; XLA's spatial partitioner inserts the
+  conv halo exchanges. The lever for resolutions whose activations don't
+  fit one chip (the batch dim stays on ``data``).
+
+Both are certified value-preserving against the single-device step in
+``tests/test_parallel_tp.py`` and exercised by ``dryrun_multichip``.
 """
 
 from __future__ import annotations
@@ -16,10 +32,12 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -29,6 +47,58 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def make_mesh_2d(n_data: int, n_model: int, devices=None) -> Mesh:
+    """2-D ``(data, model)`` mesh: DP on the first axis, TP/SP on the second.
+
+    On real hardware lay ``model`` on the faster ICI dimension (the TP/SP
+    collectives are per-layer; the DP all-reduce is once per step).
+    """
+    if devices is None:
+        devices = jax.devices()
+    need = n_data * n_model
+    if len(devices) < need:
+        raise ValueError(f"mesh {n_data}x{n_model} needs {need} devices, "
+                         f"have {len(devices)}")
+    return Mesh(np.asarray(devices[:need]).reshape(n_data, n_model),
+                (DATA_AXIS, MODEL_AXIS))
+
+
+def shard_channels(mesh: Mesh, tree):
+    """Tensor-parallel placement for a params/state/optimizer pytree.
+
+    Every leaf whose LAST dim is divisible by the ``model`` axis size is
+    sharded on that dim over ``model`` — conv kernels HWIO split on O, and
+    the per-output-channel vectors (bias, BN scale/bias, BN running
+    mean/var, Adam mu/nu) split to match, so each chip holds 1/mp of the
+    weights AND optimizer state. Indivisible leaves (the 3-channel stem's
+    bias-free kernel is always divisible; scalars like the Adam count are
+    not) replicate. Apply to the whole TrainState; the jitted step then
+    runs tensor-parallel with GSPMD-inserted collectives.
+    """
+    mp = mesh.shape[MODEL_AXIS]
+
+    def place(x):
+        x = jnp.asarray(x) if not hasattr(x, "ndim") else x
+        if x.ndim >= 1 and x.shape[-1] >= mp and x.shape[-1] % mp == 0:
+            spec = P(*([None] * (x.ndim - 1) + [MODEL_AXIS]))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC images: batch over ``data``, height over ``model`` (XLA spatial
+    partitioning — the partitioner inserts conv halo exchanges)."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
+def shard_spatial(mesh: Mesh, images):
+    """Place an NHWC image batch with H split over the ``model`` axis."""
+    return jax.device_put(images, spatial_sharding(mesh))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
