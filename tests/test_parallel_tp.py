@@ -97,6 +97,50 @@ def test_shard_channels_replicates_indivisible_and_scalar_leaves():
     assert placed["even"].sharding.spec[-1] == MODEL_AXIS
 
 
+def test_pipeline_parallel_matches_fused():
+    """TwoStagePP (detect stage on cpu:0, keypoint stage on cpu:1) must
+    reproduce the fused single-program pipeline exactly: same mask/boxes,
+    fp-tolerance keypoints — the device cut may not change values."""
+    from mit_driverless_cv_traininginfra_tpu.infer.pipeline import (
+        two_stage_pipeline,
+    )
+    from mit_driverless_cv_traininginfra_tpu.infer.pp import TwoStagePP
+    from mit_driverless_cv_traininginfra_tpu.models import rektnet
+    from mit_driverless_cv_traininginfra_tpu.models.darknet import fold_bn
+
+    spec = load_network_spec(FIXTURE, vanilla_anchor=True)
+    params, mstate = init_params(spec, jax.random.PRNGKey(5))
+    folded = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.bfloat16), fold_bn(params, mstate, spec))
+    rp, rst = rektnet.init(jax.random.PRNGKey(6))
+    rfolded = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.bfloat16), rektnet.fold_bn(rp, rst))
+
+    rng = np.random.default_rng(7)
+    batches = [jnp.asarray(rng.uniform(0, 1, (4, 64, 64, 3)), jnp.bfloat16)
+               for _ in range(3)]
+    cfg = dict(conf_thresh=0.0, nms_thresh=0.25, max_det=4, crop_size=16,
+               crop_capacity=8)
+
+    fused = [two_stage_pipeline(spec, folded, {}, rfolded, {}, fr, **cfg)
+             for fr in batches]
+    devs = jax.devices()
+    pp = TwoStagePP(spec, folded, {}, rfolded, {}, devs[0], devs[1], **cfg)
+    got = pp(batches)
+
+    assert len(got) == len(fused)
+    for f, g in zip(fused, got):
+        np.testing.assert_array_equal(np.asarray(f.mask), np.asarray(g.mask))
+        np.testing.assert_allclose(np.asarray(f.boxes, np.float32),
+                                   np.asarray(g.boxes, np.float32),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(f.keypoints, np.float32),
+                                   np.asarray(g.keypoints, np.float32),
+                                   atol=0.5)
+        # the stage cut really crossed devices
+        assert list(g.keypoints.devices())[0] == devs[1]
+
+
 def test_spatial_sharded_forward_matches_single_device():
     """Images sharded (batch over data, HEIGHT over model): the detect
     forward must equal the single-device run — XLA's spatial partitioner
