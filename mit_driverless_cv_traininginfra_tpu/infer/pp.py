@@ -28,6 +28,12 @@ When to use which:
   sizes that want to differ (RektNet's optimum is crop-count-, not
   frame-count-shaped) → this module: each stage scales its own group.
 
+Limitation: this path runs the bf16/f32 unpacked serving config only —
+``detect_stage`` has no packed-stem / int8 / windowed-crop-kernel /
+kpt-pad plumbing. The production headline configuration (int8 + packed
+stem + Pallas crop) lives in ``two_stage_pipeline_int8``; use the fused
+pipeline (optionally mesh-DP-sharded) for that operating point.
+
 Value preservation vs the fused program is pinned in
 ``tests/test_parallel_tp.py`` (bit-level for the mask/boxes, fp-tolerance
 for keypoints).
@@ -96,7 +102,10 @@ def detect_stage(
     B, K = mask.shape
     key = jnp.where(mask.reshape(-1), -scores.reshape(-1).astype(jnp.float32),
                     jnp.inf)
-    sel = jax.lax.top_k(-key, crop_capacity)[1]
+    # Selection width cannot exceed the number of detection slots: top_k
+    # raises on k > size, and capacity == B*K already keeps every crop.
+    cap = min(crop_capacity, B * K)
+    sel = jax.lax.top_k(-key, cap)[1]
     crops = roi_crop_bilinear_indexed(frames, boxes.reshape(B * K, 4)[sel],
                                       sel // K, crop_size, crop_size)
     return StageAOut(boxes, scores, mask, sel, crops)

@@ -65,29 +65,56 @@ def make_mesh_2d(n_data: int, n_model: int, devices=None) -> Mesh:
                 (DATA_AXIS, MODEL_AXIS))
 
 
-def shard_channels(mesh: Mesh, tree):
+# Leaf names whose LAST dim is out-channels in this framework's pytrees:
+# conv kernels HWIO ("w"), conv bias ("b"), BN scale/bias, BN running
+# mean/var — and, because optax moment trees mirror the param tree, the
+# Adam mu/nu leaves reuse the same names. Anything else (anchor tables,
+# step counters, future non-channel state) replicates.
+CHANNEL_LEAF_NAMES = frozenset({"w", "b", "scale", "bias", "mean", "var"})
+
+
+def _leaf_name(path) -> Optional[str]:
+    """Innermost dict-key / attribute name on a tree path, if any."""
+    for entry in reversed(path):
+        if hasattr(entry, "key"):          # DictKey
+            return str(entry.key)
+        if hasattr(entry, "name"):         # GetAttrKey (NamedTuple fields)
+            return str(entry.name)
+    return None
+
+
+def shard_channels(mesh: Mesh, tree, key_allow=CHANNEL_LEAF_NAMES):
     """Tensor-parallel placement for a params/state/optimizer pytree.
 
-    Every leaf whose LAST dim is divisible by the ``model`` axis size is
-    sharded on that dim over ``model`` — conv kernels HWIO split on O, and
+    A leaf is sharded on its LAST dim over ``model`` only when BOTH hold:
+    its innermost key name is in ``key_allow`` (the known
+    channel-carrying leaves — see ``CHANNEL_LEAF_NAMES``) AND that dim is
+    divisible by the model-axis size. Conv kernels HWIO split on O, and
     the per-output-channel vectors (bias, BN scale/bias, BN running
     mean/var, Adam mu/nu) split to match, so each chip holds 1/mp of the
-    weights AND optimizer state. Indivisible leaves (the 3-channel stem's
-    bias-free kernel is always divisible; scalars like the Adam count are
-    not) replicate. Apply to the whole TrainState; the jitted step then
-    runs tensor-parallel with GSPMD-inserted collectives.
+    weights AND optimizer state. Everything else — indivisible channel
+    counts (a 3-channel stem under mp that doesn't divide it), scalars
+    like the Adam count, and any leaf whose name isn't allowlisted (the
+    divisible-last-dim heuristic alone would silently shard e.g. an
+    (N, 2) anchor table on a non-channel dim) — replicates. Apply to the
+    whole TrainState; the jitted step then runs tensor-parallel with
+    GSPMD-inserted collectives. Pass ``key_allow=None`` to disable the
+    name filter (positional heuristic only — caller asserts every
+    divisible last dim is channels).
     """
     mp = mesh.shape[MODEL_AXIS]
 
-    def place(x):
+    def place(path, x):
         x = jnp.asarray(x) if not hasattr(x, "ndim") else x
-        if x.ndim >= 1 and x.shape[-1] >= mp and x.shape[-1] % mp == 0:
+        named_ok = key_allow is None or _leaf_name(path) in key_allow
+        if (named_ok and x.ndim >= 1 and x.shape[-1] >= mp
+                and x.shape[-1] % mp == 0):
             spec = P(*([None] * (x.ndim - 1) + [MODEL_AXIS]))
         else:
             spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map(place, tree)
+    return jax.tree_util.tree_map_with_path(place, tree)
 
 
 def spatial_sharding(mesh: Mesh) -> NamedSharding:

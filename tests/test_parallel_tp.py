@@ -89,12 +89,25 @@ def test_yolo_tp_dp_train_step_matches_single_device():
 
 def test_shard_channels_replicates_indivisible_and_scalar_leaves():
     mesh = make_mesh_2d(4, 2)
-    tree = {"odd": jnp.ones((3,)), "scalar": jnp.zeros(()),
-            "even": jnp.ones((4, 8))}
+    tree = {"w": jnp.ones((3,)), "scalar": jnp.zeros(()),
+            "b": jnp.ones((4, 8))}
     placed = shard_channels(mesh, tree)
-    assert placed["odd"].sharding.is_fully_replicated
-    assert placed["scalar"].sharding.is_fully_replicated
-    assert placed["even"].sharding.spec[-1] == MODEL_AXIS
+    assert placed["w"].sharding.is_fully_replicated       # 3 % 2 != 0
+    assert placed["scalar"].sharding.is_fully_replicated  # 0-d
+    assert placed["b"].sharding.spec[-1] == MODEL_AXIS
+
+
+def test_shard_channels_keypath_allowlist():
+    """Only known channel-carrying leaf names shard — a divisible last dim
+    alone (e.g. an (N, 2) anchor-like table under mp=2) must replicate."""
+    mesh = make_mesh_2d(4, 2)
+    tree = {"anchors": jnp.ones((9, 2)), "layer": {"w": jnp.ones((3, 3, 4, 8))}}
+    placed = shard_channels(mesh, tree)
+    assert placed["anchors"].sharding.is_fully_replicated
+    assert placed["layer"]["w"].sharding.spec[-1] == MODEL_AXIS
+    # opt-out: positional heuristic only
+    placed2 = shard_channels(mesh, tree, key_allow=None)
+    assert placed2["anchors"].sharding.spec[-1] == MODEL_AXIS
 
 
 def test_pipeline_parallel_matches_fused():
@@ -139,6 +152,43 @@ def test_pipeline_parallel_matches_fused():
                                    atol=0.5)
         # the stage cut really crossed devices
         assert list(g.keypoints.devices())[0] == devs[1]
+
+
+def test_pipeline_parallel_capacity_exceeds_slots():
+    """Regression (ADVICE r4): crop_capacity > B*max_det used to crash
+    detect_stage's top_k ('k must be no larger than size') — with the
+    class's OWN defaults on a small batch. The selection width must clamp
+    to the slot count and still match the fused dense path."""
+    from mit_driverless_cv_traininginfra_tpu.infer.pipeline import (
+        two_stage_pipeline,
+    )
+    from mit_driverless_cv_traininginfra_tpu.infer.pp import TwoStagePP
+    from mit_driverless_cv_traininginfra_tpu.models import rektnet
+    from mit_driverless_cv_traininginfra_tpu.models.darknet import fold_bn
+
+    spec = load_network_spec(FIXTURE, vanilla_anchor=True)
+    params, mstate = init_params(spec, jax.random.PRNGKey(5))
+    folded = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.bfloat16), fold_bn(params, mstate, spec))
+    rp, rst = rektnet.init(jax.random.PRNGKey(6))
+    rfolded = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.bfloat16), rektnet.fold_bn(rp, rst))
+
+    rng = np.random.default_rng(17)
+    batch = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.bfloat16)
+    # capacity 64 > B*K = 2*4 = 8 — the crash shape
+    cfg = dict(conf_thresh=0.0, nms_thresh=0.25, max_det=4, crop_size=16,
+               crop_capacity=64)
+    devs = jax.devices()
+    pp = TwoStagePP(spec, folded, {}, rfolded, {}, devs[0], devs[1], **cfg)
+    got = pp([batch])[0]
+    ref = two_stage_pipeline(spec, folded, {}, rfolded, {}, batch,
+                             conf_thresh=0.0, nms_thresh=0.25, max_det=4,
+                             crop_size=16, crop_capacity=None)
+    np.testing.assert_array_equal(np.asarray(ref.mask), np.asarray(got.mask))
+    np.testing.assert_allclose(np.asarray(ref.keypoints, np.float32),
+                               np.asarray(got.keypoints, np.float32),
+                               atol=0.5)
 
 
 def test_spatial_sharded_forward_matches_single_device():
