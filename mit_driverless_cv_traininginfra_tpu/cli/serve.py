@@ -137,6 +137,19 @@ def main(argv=None) -> int:
                         help="batches kept in flight before fencing the "
                              "oldest (higher = more device overlap, more "
                              "result latency; results stay in order)")
+    parser.add_argument("--syn_oversize_tail", type=int, default=0,
+                        help="synthetic source only: render the LAST K "
+                             "scenes with a broad cone-height mix whose "
+                             "largest boxes exceed the windowed crop "
+                             "kernel's exact-sampling contract — drives "
+                             "the oversize watch / auto-degrade policy "
+                             "(serving.py) end-to-end on hardware")
+    parser.add_argument("--crop_kernel", choices=("auto", "on", "off"),
+                        default="auto",
+                        help="windowed-DMA Pallas crop kernel: auto "
+                             "(TPU + geometry admits the window), or force "
+                             "on/off ('off' = the XLA indexed crop, exact "
+                             "at any box size — the auto-degrade target)")
     parser.add_argument("--syn_repeat", type=int, default=1,
                         help="cycle the synthetic scenes this many times "
                              "(render once, serve N*R frames) — drives the "
@@ -146,6 +159,24 @@ def main(argv=None) -> int:
                         help="shard each batch over the first N devices "
                              "(0 = single device); the fused pipeline "
                              "SPMD-partitions over ICI")
+    # latency mode (VERDICT r4 #3): the race-car operating point — frames
+    # are submitted one at a time through infer.microbatch.MicroBatcher,
+    # co-arrivals (--cameras concurrent streams) aggregate into the
+    # smallest warmed bucket, and every request is fenced through one
+    # device_get, so request_ms percentiles are true client-visible
+    # per-frame latency. Recommended pairing: --precision bf16 --max_det 8
+    # (tools/bench_latency.py: the B=1/2 latency point).
+    add_bool_arg(parser, "latency_mode", False,
+                 "serve per-frame through the MicroBatcher and report "
+                 "fenced per-request latency percentiles")
+    parser.add_argument("--latency_buckets", type=str, default="1,2",
+                        help="batch buckets to warm/aggregate into in "
+                             "latency mode")
+    parser.add_argument("--cameras", type=int, default=2,
+                        help="simulated concurrent camera streams in "
+                             "latency mode (frames submitted per wave)")
+    parser.add_argument("--max_wait_ms", type=float, default=2.0,
+                        help="MicroBatcher co-arrival window")
     add_bool_arg(parser, "vanilla_anchor", False, "use the vanilla anchors")
     add_bool_arg(parser, "feed_uint8", True,
                  "ship frames to the device as uint8 and normalize there "
@@ -275,9 +306,16 @@ def main(argv=None) -> int:
         def _syn_frames():
             rng = np.random.default_rng(42)
             made, cache = 0, []
+            head = n_syn - max(0, min(opt.syn_oversize_tail, n_syn))
             while made < n_syn:
-                k = min(64, n_syn - made)
-                imgs, _ = _syn_batch(rng, k, size=H)
+                k = min(64, (head if made < head else n_syn) - made)
+                # tail scenes: broad height mix up to ~0.8H — the largest
+                # boxes break the crop window (h<=240/w<=211 at 416) while
+                # mid-size cones keep detections flowing, so the oversize
+                # watch samples a violating stream, not an empty one
+                kw = ({} if made < head
+                      else dict(min_h=24, max_h=int(H * 0.82)))
+                imgs, _ = _syn_batch(rng, k, size=H, **kw)
                 for i in range(k):
                     frame = (imgs[i] * 255).astype(np.uint8)
                     if opt.syn_repeat > 1:
@@ -342,6 +380,8 @@ def main(argv=None) -> int:
             entry_q=entry_q, conf_thresh=opt.conf_thres,
             nms_thresh=opt.nms_thres, max_det=opt.max_det,
             policy=AdaptiveCapacity(), observe_every=opt.observe_every,
+            crop_kernel={"auto": None, "on": True, "off": False}[
+                opt.crop_kernel],
             mesh=mesh)
         serve_dtype = jnp.bfloat16
     else:
@@ -355,7 +395,10 @@ def main(argv=None) -> int:
             spec, yolo_params=folded, rekt_params=rp, packed_stem=packed,
             conf_thresh=opt.conf_thres, nms_thresh=opt.nms_thres,
             max_det=opt.max_det, policy=AdaptiveCapacity(),
-            observe_every=opt.observe_every, mesh=mesh)
+            observe_every=opt.observe_every,
+            crop_kernel={"auto": None, "on": True, "off": False}[
+                opt.crop_kernel],
+            mesh=mesh)
 
     # the WIRE dtype: what actually crosses host->device per batch. uint8
     # (default) is normalized on device inside the pipeline program —
@@ -365,10 +408,13 @@ def main(argv=None) -> int:
     wire_dtype = jnp.uint8 if opt.feed_uint8 else serve_dtype
 
     B = opt.batch_size
+    lat_buckets = sorted({int(b) for b in opt.latency_buckets.split(",") if b})
     if opt.warmup:
         caps = ([int(c) for c in opt.capacities.split(",") if c]
                 if opt.capacities else None)
-        secs = server.warmup([B], capacities=caps, frame_dtype=wire_dtype)
+        warm_sizes = lat_buckets if opt.latency_mode else [B]
+        secs = server.warmup(warm_sizes, capacities=caps,
+                             frame_dtype=wire_dtype)
         print(f"warmup: {sorted(server.warmed)} in {secs:.1f}s",
               file=sys.stderr)
 
@@ -414,6 +460,74 @@ def main(argv=None) -> int:
         for idx, img in frames_it:
             fb, geom = boxed(img)
             yield idx, fb, geom
+
+    def emit_frame(idx, geom, res):
+        """CSV rows for one MicroBatcher result (per-frame numpy dict)."""
+        if csv_f is None:
+            return
+        pad_h, pad_w, ratio = geom
+        bb = res["boxes"] / ratio - np.asarray(
+            [pad_w, pad_h, pad_w, pad_h], np.float32)
+        for d in np.flatnonzero(res["mask"]):
+            row = [idx, int(d)] + [f"{v:.2f}" for v in bb[d]]
+            row += [f"{res['scores'][d]:.4f}"]
+            if res["keypoints"][d].any():
+                kk = (res["keypoints"][d] / ratio
+                      - np.asarray([pad_w, pad_h], np.float32))
+                row += [f"{v:.2f}" for v in kk.ravel()]
+            else:
+                row += [""] * 14
+            csv_f.write(",".join(str(v) for v in row) + "\n")
+
+    if opt.latency_mode:
+        # ---- per-frame latency serving (VERDICT r4 #3) --------------------
+        from mit_driverless_cv_traininginfra_tpu.infer.microbatch import (
+            MicroBatcher,
+        )
+
+        mb = MicroBatcher(server, bucket_sizes=lat_buckets,
+                          max_wait_ms=opt.max_wait_ms)
+        n_frames = 0
+        waves = max(1, opt.cameras)
+        t0 = time.perf_counter()
+        with mb:
+            group: list = []
+
+            def drain():
+                nonlocal n_frames
+                for idx, geom, fut in group:
+                    emit_frame(idx, geom, fut.result())  # fenced per frame
+                    n_frames += 1
+                group.clear()
+
+            stream = (_prefetch(decoded(), depth=2 * waves) if opt.prefetch
+                      else decoded())
+            for idx, fb, geom in stream:
+                group.append((idx, geom, mb.submit(fb)))
+                if len(group) >= waves:
+                    drain()   # wait for the wave: 1-deep, fenced pipeline
+            drain()
+        wall = time.perf_counter() - t0
+        if csv_f is not None:
+            csv_f.close()
+            print(f"detections -> {opt.output_csv}", file=sys.stderr)
+        mstats = mb.stats()
+        summary = {"mode": "latency", "frames": n_frames,
+                   "wall_s": round(wall, 2),
+                   "fps": round(n_frames / wall, 1) if wall else None,
+                   "precision": opt.precision, "cameras": waves,
+                   "latency_buckets": lat_buckets,
+                   # client-visible per-frame latency: submit -> results on
+                   # host (includes co-arrival wait + device + device_get)
+                   "request_frame_ms": mstats["request_ms"],
+                   "microbatch": mstats,
+                   **server.stats()}
+        print(json.dumps(summary, default=str))
+        if opt.assert_no_compiles and opt.warmup and summary["compiles"]:
+            print(f"ERROR: {summary['compiles']} serving-path compile(s) "
+                  "after warmup", file=sys.stderr)
+            return 2
+        return 0
 
     from collections import deque
 

@@ -136,6 +136,110 @@ def test_serve_cli_synthetic_device_cache(tmp_path, capsys):
     assert summary["calls"] == 6
 
 
+def test_serve_cli_oversize_tail_and_kernel_flag(tmp_path, capsys):
+    """--syn_oversize_tail + --crop_kernel (VERDICT r4 #5 plumbing): the
+    tail scenes carry a broad cone-height mix and --crop_kernel off/on
+    forces the crop-op choice. The Pallas window kernel itself needs the
+    TPU (its DMA window can't lower on CPU), so this pins the CLI
+    plumbing; the switch firing end-to-end is the on-chip demo
+    (PERF.md 'Crop-kernel auto-degrade on chip')."""
+    spec = load_network_spec(FIXTURE, vanilla_anchor=True)
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    w = str(tmp_path / "tiny.weights")
+    save_darknet_weights(spec, params, state, w)
+    rp, rs = rektnet.init(jax.random.PRNGKey(1))
+    pt = str(tmp_path / "rekt.pt")
+    save_rektnet_pt(pt, rp, rs)
+
+    rc = serve.main([
+        "--source", "synthetic:6", "--syn_oversize_tail", "4",
+        "--crop_kernel", "off",
+        "--model_cfg", FIXTURE,
+        "--yolo_weights", w, "--rektnet_weights", pt,
+        "--precision", "bf16", "--batch_size", "2",
+        "--conf_thres", "0.1", "--max_det", "4",
+        "--capacities", "8", "--vanilla_anchor",
+        "--assert_no_compiles",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["frames"] == 6
+    assert summary["compiles"] == 0
+    assert summary["crop_kernel_active"] is False   # forced off
+    assert summary["crop_kernel_switches"] == 0
+
+
+def test_serve_cli_latency_mode(tmp_path, capsys):
+    """--latency_mode (VERDICT r4 #3): the race-car operating point —
+    frames go through the MicroBatcher one at a time, co-arrivals
+    aggregate into warmed 1/2-buckets, every request is fenced, and the
+    summary carries client-visible per-frame latency percentiles. The
+    CSV detections must match the batched path (batching is
+    result-transparent)."""
+    spec = load_network_spec(FIXTURE, vanilla_anchor=True)
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    w = str(tmp_path / "tiny.weights")
+    save_darknet_weights(spec, params, state, w)
+    rp, rs = rektnet.init(jax.random.PRNGKey(1))
+    pt = str(tmp_path / "rekt.pt")
+    save_rektnet_pt(pt, rp, rs)
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        Image.fromarray(
+            rng.integers(0, 255, (80, 100, 3), dtype=np.uint8)
+        ).save(src / f"f{i}.png")
+
+    csv_lat = str(tmp_path / "dets_lat.csv")
+    rc = serve.main([
+        "--source", str(src), "--model_cfg", FIXTURE,
+        "--yolo_weights", w, "--rektnet_weights", pt,
+        "--precision", "bf16", "--latency_mode",
+        "--latency_buckets", "1,2", "--cameras", "2",
+        "--conf_thres", "0.1", "--max_det", "4",
+        "--capacities", "8", "--output_csv", csv_lat, "--vanilla_anchor",
+        "--assert_no_compiles",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["mode"] == "latency"
+    assert summary["frames"] == 5
+    assert summary["compiles"] == 0            # buckets 1 AND 2 were warmed
+    lat = summary["request_frame_ms"]
+    assert lat is not None and lat["99"] >= lat["50"] > 0
+    hist = summary["microbatch"]["bucket_histogram"]
+    assert hist["2"] >= 1                      # co-arrivals aggregated
+    assert summary["microbatch"]["frames"] == 5
+
+    # result transparency: batched CSV == latency-mode CSV
+    csv_b = str(tmp_path / "dets_b.csv")
+    rc = serve.main([
+        "--source", str(src), "--model_cfg", FIXTURE,
+        "--yolo_weights", w, "--rektnet_weights", pt,
+        "--precision", "bf16", "--batch_size", "2",
+        "--conf_thres", "0.1", "--max_det", "4",
+        "--capacities", "8", "--output_csv", csv_b, "--vanilla_anchor",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    def rows(path):
+        with open(path) as f:
+            lines = f.read().splitlines()[1:]
+        return {tuple(l.split(",")[:2]):
+                np.array([float(x) for x in l.split(",")[2:] if x != ""])
+                for l in lines}
+
+    ra, rb = rows(csv_lat), rows(csv_b)
+    assert set(ra) == set(rb)            # same (frame, det) detection set
+    for k in ra:
+        assert ra[k].size == rb[k].size
+        # %.2f CSV rounding + batch-size-dependent XLA schedules in bf16
+        np.testing.assert_allclose(ra[k], rb[k], atol=0.51)
+
+
 def test_serve_cli_mesh_matches_single_device(tmp_path, capsys):
     """--mesh N shards each batch over the first N (virtual CPU) devices;
     the fused pipeline is per-sample independent, so the CSV detections
