@@ -12,6 +12,11 @@ from mit_driverless_cv_traininginfra_tpu.utils.logger import Logger, add_bool_ar
 
 
 def main(argv=None) -> int:
+    from mit_driverless_cv_traininginfra_tpu.utils.jaxcache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description="RektNet training (TPU-native)")
     parser.add_argument("--study_name", type=str, default="rektnet")
     parser.add_argument("--train_dataset_uri", type=str,

@@ -38,6 +38,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--wh_loss", type=float, default=1.6)
     parser.add_argument("--no_object_loss", type=float, default=25.0)
     parser.add_argument("--object_loss", type=float, default=0.1)
+    # TPU-native extensions beyond the reference surface (defaults off):
+    # large-batch from-scratch training (B>=32) needs global-norm clip +
+    # lr warmup to avoid early NaN (PERF.md "Training"), and checkpoint
+    # evaluation may need a smaller batch than training to fit HBM
+    parser.add_argument("--grad_clip", type=float, default=0.0,
+                        help="global-norm gradient clip (0 = off)")
+    parser.add_argument("--lr_warmup_steps", type=int, default=0,
+                        help="linear lr warmup over the first N steps")
+    parser.add_argument("--val_batch_size", type=int, default=None,
+                        help="validation batch size (default: batch_size)")
     parser.add_argument("--vis_batch", type=int, default=0)
     parser.add_argument("--num_workers", type=int, default=8)
     parser.add_argument("--n_devices", type=int, default=None)
@@ -80,6 +90,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # persistent XLA compile cache: a cold flagship train-step compile
+    # through the axon tunnel takes minutes; every production entry point
+    # enables the on-disk cache (utils/jaxcache.py)
+    from mit_driverless_cv_traininginfra_tpu.utils.jaxcache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     opt = build_parser().parse_args(argv)
     if opt.output_path == "automatic":
         from datetime import datetime

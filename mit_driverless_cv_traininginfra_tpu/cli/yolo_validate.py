@@ -10,6 +10,11 @@ from mit_driverless_cv_traininginfra_tpu.utils.logger import add_bool_arg
 
 
 def main(argv=None) -> int:
+    from mit_driverless_cv_traininginfra_tpu.utils.jaxcache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description="YOLO validation (TPU-native)")
     parser.add_argument("--model_cfg", type=str, default="model_cfg/yolo_baseline.cfg")
     parser.add_argument("--weights_path", type=str, required=True)

@@ -18,9 +18,16 @@ import optax
 
 
 def make_optimizer(kind: str = "Adam", lr: float = 1e-3, momentum: float = 0.9,
-                   weight_decay: float = 0.0):
+                   weight_decay: float = 0.0, grad_clip: float = 0.0):
     """Returns an ``optax.inject_hyperparams`` optimizer whose ``lr`` can be
-    reassigned between steps (``set_lr``)."""
+    reassigned between steps (``set_lr``).
+
+    ``grad_clip`` (global-norm clip, 0 = off) is a TPU-native extension
+    beyond the reference's surface: the flagship graph trained from
+    scratch at large batch (B≥32) NaNs in the first few hundred steps
+    without it (the noobj-25 BCE spikes early — measured,
+    tools/train_to_map.py); the reference never hits this because it
+    trains at B=7. Defaults off for parity."""
     kind_l = kind.lower()
     if kind_l == "adam":
         # torch.optim.Adam applies L2 into the gradient (not decoupled).
@@ -37,6 +44,10 @@ def make_optimizer(kind: str = "Adam", lr: float = 1e-3, momentum: float = 0.9,
             return tx
     else:
         raise ValueError(f"Invalid optimizer name: {kind}")
+    if grad_clip:
+        return optax.inject_hyperparams(
+            lambda lr: optax.chain(optax.clip_by_global_norm(grad_clip),
+                                   build(lr)))(lr=lr)
     return optax.inject_hyperparams(lambda lr: build(lr))(lr=lr)
 
 

@@ -61,7 +61,8 @@ LOSS_LABELS = ["Total", "L-x", "L-y", "L-w", "L-h", "L-noobj", "L-obj"]
 def run_epoch(*, label_prefix: str, data_loader, spec, tx, ts, mesh,
               num_steps: int, step, epoch: int, loss_consts, optimize: bool,
               compute_dtype: str = "float32", device_aug: bool = False,
-              aug_key=None, aug_flags=None, packed_stem: bool = False):
+              aug_key=None, aug_flags=None, packed_stem: bool = False,
+              lr_warmup=None):
     """Shared train/validate epoch loop (train.py:49-93). Returns
     (epoch_losses[7], epoch_time_total, epoch_num_targets, ts)."""
     print(f"Model in {label_prefix} mode")
@@ -89,6 +90,16 @@ def run_epoch(*, label_prefix: str, data_loader, spec, tx, ts, mesh,
             break
         epoch_num_targets += step_num_targets
 
+        if optimize and lr_warmup is not None:
+            # linear lr warmup over the first N global steps (host-side
+            # scalar swap via inject_hyperparams — no recompile). The
+            # epoch-level StepLR value is the warmup ceiling.
+            warm_n, epoch_lr = lr_warmup
+            if step[0] < warm_n:
+                ts = ts._replace(opt_state=set_lr(
+                    ts.opt_state, epoch_lr * (step[0] + 1) / warm_n))
+            elif step[0] == warm_n:
+                ts = ts._replace(opt_state=set_lr(ts.opt_state, epoch_lr))
         if optimize and device_aug:
             key = jax.random.fold_in(aug_key, step[0])
             ts, loss, comps = yolo_train_step_device_aug(
@@ -182,6 +193,8 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
          vis_batch: int = 0, resume: bool = False,
          mixed_precision="auto", device_aug: bool = False,
          packed_stem: bool = False,
+         grad_clip: float = 0.0, lr_warmup_steps: int = 0,
+         val_batch_size: Optional[int] = None,
          preload_device: bool = False, preload_num: Optional[int] = None,
          preload_budget_gb: float = 6.0,
          debug_mode: bool = False, evaluate: bool = False,
@@ -221,9 +234,15 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
     val_ds = ImageLabelDataset(
         spec.net.validate_uri, num_images=spec.net.num_validate_images, **common)
     bs = 1 if debug_mode else batch_size
+    # val_batch_size: checkpoint evaluation runs an f32 detection forward
+    # ON TOP of the resident train state (+ any device pool) — at large
+    # train batches that combination can exceed HBM, so validation may
+    # need its own smaller batch (None = same as training)
+    val_bs = 1 if debug_mode else (val_batch_size or batch_size)
     train_loader = DataLoader(train_ds, bs, shuffle=not debug_mode,
                               num_workers=num_workers, seed=seed)
-    val_loader = DataLoader(val_ds, bs, shuffle=False, num_workers=num_workers)
+    val_loader = DataLoader(val_ds, val_bs, shuffle=False,
+                            num_workers=num_workers)
     print("Num train images: ", len(train_ds))
     print("Num validate images: ", len(val_ds))
 
@@ -252,7 +271,7 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
     if weights_path:
         params, mstate, _ = load_darknet_weights(spec, params, mstate, weights_path)
     tx = make_optimizer(optimizer_pick, lr=lr, momentum=momentum,
-                        weight_decay=weight_decay)
+                        weight_decay=weight_decay, grad_clip=grad_clip)
     ts_state = init_train_state(params, mstate, tx)
 
     # orbax resume: full state (params, BN stats, optimizer, step) — the
@@ -283,14 +302,17 @@ def main(*, model_cfg: str, weights_path: Optional[str], output_path: str,
         # epoch 0 so its random patch picks are stable between checkpoints
         train_ds.set_epoch(epoch)
         # StepLR stepped at the top of the epoch (train.py:199,207)
+        epoch_lr = step_lr(lr, gamma, epoch)
         ts_state = ts_state._replace(
-            opt_state=set_lr(ts_state.opt_state, step_lr(lr, gamma, epoch)))
+            opt_state=set_lr(ts_state.opt_state, epoch_lr))
         _, _, _, ts_state = run_epoch(
             label_prefix="train", data_loader=train_loader, spec=spec, tx=tx,
             ts=ts_state, mesh=mesh, num_steps=num_steps, step=step,
             epoch=epoch, loss_consts=loss_consts, optimize=True,
             compute_dtype="bfloat16" if mixed_precision else "float32",
             device_aug=device_aug, packed_stem=packed_stem,
+            lr_warmup=((lr_warmup_steps, epoch_lr)
+                       if lr_warmup_steps else None),
             aug_key=jax.random.PRNGKey(seed * 7919 + epoch),
             # honour the user's augmentation flags on the device path with
             # the HOST path's semantics (yolo_dataset.__getitem__, matching

@@ -22,7 +22,10 @@ class Logger(object):
         else:
             self.terminal = sys.stdout
         os.makedirs(os.path.dirname(File) or ".", exist_ok=True)
-        self.log = open(File, "w")
+        # line-buffered: training runs through the axon tunnel spend
+        # minutes inside compiles — a block-buffered tee keeps the log
+        # empty exactly when an operator tails it to see progress
+        self.log = open(File, "w", buffering=1)
 
     def write(self, message):
         self.terminal.write(message)
