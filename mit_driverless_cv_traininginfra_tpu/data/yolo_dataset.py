@@ -304,9 +304,16 @@ class ImageLabelDataset:
             if done:
                 sys.exit("Finished visualizing enough images. Exiting!")
 
-        # normalise to xywh in [0,1] (utils/datasets.py:307-309)
+        # normalise to xywh in [0,1] (utils/datasets.py:307-309; the
+        # reference's xyxy2xywh builds a NEW tensor). The corner columns
+        # MUST be materialized before writing into `out`: numpy column
+        # slices are views, so writing cx into out[:, 1] would silently
+        # turn the later w = |x2 - x1| into |x2 - cx| ≈ x2 — corrupting
+        # every host-path target (caught by the first on-chip production
+        # training run: val mAP pinned at 0 while train loss converged).
         out = labels.copy()
-        x1, y1, x2, y2 = out[:, 1], out[:, 2], out[:, 3], out[:, 4]
+        x1, y1 = labels[:, 1].copy(), labels[:, 2].copy()
+        x2, y2 = labels[:, 3].copy(), labels[:, 4].copy()
         out[:, 1] = (x1 + x2) / 2 / self.width
         out[:, 2] = (y1 + y2) / 2 / self.height
         out[:, 3] = np.abs(x2 - x1) / self.width

@@ -92,6 +92,38 @@ def test_image_label_dataset_letterbox_mode(yolo_dataset_dir):
     assert len(real) == 2
 
 
+def test_label_normalization_exact_and_mode_consistent(yolo_dataset_dir):
+    """The host path's final normalise-to-cxcywh (utils/datasets.py:307-309)
+    must be algebraically exact — REGRESSION for the r5 aliasing bug where
+    the corner columns were numpy VIEWS into the output array, so writing
+    cx first silently turned w = |x2-x1| into |x2-cx| ≈ x2. Training via
+    the device-pool path was immune (pixel corners convert on device), so
+    the corruption only surfaced as val-mAP pinned at 0 on the first
+    production training run on hardware."""
+    csv_path, img_dir = yolo_dataset_dir
+    # letterbox mode: fully deterministic geometry (no random patch pick)
+    kw = dict(dataset_path=img_dir, width=128, height=128, ts=False)
+    norm = ImageLabelDataset(csv_path, **kw)
+    corner = ImageLabelDataset(csv_path, device_aug=True, **kw)
+    _, _, lab_n = norm[0]
+    _, _, lab_c = corner[0]
+    real_n = lab_n[lab_n.sum(axis=1) > 0]
+    real_c = lab_c[lab_c.sum(axis=1) > 0]
+    # device_aug labels are pixel corners; normal labels must be exactly
+    # their normalized cxcywh — any view-aliasing breaks this identity
+    x1, y1, x2, y2 = real_c[:, 1], real_c[:, 2], real_c[:, 3], real_c[:, 4]
+    np.testing.assert_allclose(real_n[:, 1], (x1 + x2) / 2 / 128, rtol=1e-6)
+    np.testing.assert_allclose(real_n[:, 2], (y1 + y2) / 2 / 128, rtol=1e-6)
+    np.testing.assert_allclose(real_n[:, 3], (x2 - x1) / 128, rtol=1e-6)
+    np.testing.assert_allclose(real_n[:, 4], (y2 - y1) / 128, rtol=1e-6)
+    # absolute values for img_0 (400x300, scale col unused in letterbox):
+    # box [x,y,h,w]=[50,40,60,30] -> corners (50,40)-(80,100), +50px vert
+    # pad -> (50,90)-(80,150), x 128/400 -> (16,28.8)-(25.6,48)
+    np.testing.assert_allclose(
+        real_n[0], [0.0, 20.8 / 128, 38.4 / 128, 9.6 / 128, 19.2 / 128],
+        rtol=1e-5)
+
+
 def test_image_label_dataset_augment(yolo_dataset_dir):
     csv_path, img_dir = yolo_dataset_dir
     ds = ImageLabelDataset(csv_path, img_dir, width=256, height=256, ts=True,
