@@ -541,7 +541,8 @@ def main():
             # 3-bucket lattice (VERDICT r4 #6): the timed window below
             # injects a load shift, so growth must land on a warmed bucket
             lattice = [cap, cap + cap_quantum, cap + 2 * cap_quantum]
-            wsecs = server.warmup([batch], capacities=lattice)
+            wsecs = server.warmup([batch], capacities=lattice,
+                                  pad_sizes=[batch - 28])
             # event frames: a SHORT batch (zero-pad bucket) and a
             # higher-load scene set (more cones/frame -> the policy's p99
             # want grows -> bucket switch, still compile-free)
@@ -550,6 +551,10 @@ def main():
                                      size=416, max_cones=14)
             shift_frames = jax.device_put(
                 jnp.asarray(shift_np, compute_dtype), dev)
+            # fence the ~130 MB upload: it rides the device stream, and an
+            # in-flight H2D would otherwise land inside the bootstrap
+            # observation's fenced window (measured: a 2.9 s "p99")
+            _sync(shift_frames)
             # 5 untimed calls restart the dispatch pipeline after warmup's
             # fence, then a 64-deep timed window — a 20-call window right
             # after warmup measures one queue drain, not the server
@@ -561,6 +566,9 @@ def main():
             _sync(sout.keypoints, sout.scores)
             s_iters, s_frames = 64, 0
             cap_trace = set()
+            call_ms = []                       # per-call dispatch walls:
+            # deferred serving returns immediately, so a big value here is
+            # a STALL (hidden compile, host round-trip), not batch latency
             ts = time.perf_counter()
             for i in range(s_iters):
                 if i == 24:
@@ -569,7 +577,9 @@ def main():
                     fr = shift_frames          # load-shift event
                 else:
                     fr = frames
+                c0 = time.perf_counter()
                 sout = server(fr)
+                call_ms.append((time.perf_counter() - c0) * 1e3)
                 s_frames += int(fr.shape[0])
                 cap_trace.add(server.current_capacity)
             _sync(sout.keypoints, sout.scores)
@@ -598,6 +608,14 @@ def main():
                 "latency_fenced_frame_ms": lat["latency_frame_ms"],
                 "pipeline_wall_ms": lat["pipeline_wall_ms"],
                 "pipeline_depth": lat["pipeline_depth"],
+                "max_dispatch_stall_ms": round(max(call_ms), 1),
+                "max_dispatch_stall_at": int(np.argmax(call_ms)),
+                # which fenced sample is the ring max: 0 = the bootstrap
+                # observation, 1.. = measure_latency calls — localizes a
+                # p99 outlier to the serving transition that caused it
+                "fenced_max_at": int(np.argmax(
+                    [ms for _, ms in server.latencies])),
+                "fenced_n": len(server.latencies),
                 "crop_kernel_active": st["crop_kernel_active"],
             }
 

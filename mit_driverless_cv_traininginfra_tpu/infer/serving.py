@@ -191,7 +191,8 @@ class TwoStageServer:
     def warmup(self, batch_sizes: Iterable[int],
                capacities: Optional[Sequence[int]] = None,
                frame_size: Optional[int] = None,
-               frame_dtype=None) -> float:
+               frame_dtype=None,
+               pad_sizes: Optional[Sequence[int]] = None) -> float:
         """Precompile the (batch, capacity) bucket lattice.
 
         ``capacities`` defaults to every policy bucket from ``floor`` up to
@@ -249,6 +250,31 @@ class TwoStageServer:
                     float(jnp.sum(out.scores))
                 self.warmed.add((B, cap))
                 self.seen.add((B, cap))
+        if pad_sizes:
+            # precompile the device-side zero-pad concat for expected
+            # short-batch sizes (camera drop / stream tail): the pad
+            # program is shape-specialized on the short size, so an
+            # unwarmed one is a serving-path compile
+            for ps in pad_sizes:
+                ps = int(ps)
+                short = jnp.zeros((ps, size, size,
+                                   self.spec.net.channels), frame_dtype)
+                padded, _ = self._pad_batch(short)
+                self.batch_pads -= 1          # warmup pad isn't an event
+                B = int(padded.shape[0])
+                cap = next((c for (b, c) in sorted(self.warmed)
+                            if b == B), None)
+                if cap is not None:
+                    # the output-slice programs (out[:ps] per pipeline
+                    # field) are shape-specialized on the short size too —
+                    # run the full short-batch mechanics so the first real
+                    # short batch is a complete jit-cache hit (measured:
+                    # an unwarmed slice set cost a 2.8 s serving stall)
+                    out = self._run(padded, cap)
+                    out = PipelineOut(*(x[:ps] for x in out))
+                    float(jnp.sum(out.scores))
+                else:
+                    float(jnp.sum(padded.astype(jnp.float32)))
         self.warmup_seconds += time.perf_counter() - t0
         return self.warmup_seconds
 
@@ -319,8 +345,22 @@ class TwoStageServer:
         #                            no host round-trip
         # B0 < target, so the next multiple of `target` IS target; the
         # fallback pads to the next multiple of the mesh size
-        padded, _ = pad_batch_to_devices(np.asarray(frames), target,
-                                         mode="zeros")
+        import jax
+
+        if isinstance(frames, jax.Array):
+            # device-resident frames MUST pad on device: np.asarray here
+            # is a device->host drain of the whole batch plus a re-upload
+            # — ~16 s through the axon tunnel for 100 frames at 416²
+            # (measured r5, bench serve window). The concat is a tiny
+            # program compiled once per distinct short size — warm
+            # expected sizes via warmup(pad_sizes=...).
+            up = ((B0 + target - 1) // target) * target
+            pad = jnp.zeros((up - B0,) + tuple(frames.shape[1:]),
+                            frames.dtype)
+            padded = jnp.concatenate([frames, pad], axis=0)
+        else:
+            padded, _ = pad_batch_to_devices(np.asarray(frames), target,
+                                             mode="zeros")
         self.batch_pads += 1
         return padded, B0
 
