@@ -47,6 +47,15 @@ def main():
     ap.add_argument("--eval-n", type=int, default=64)
     ap.add_argument("--size", type=int, default=416)
     ap.add_argument("--family", default="yolo", choices=["yolo", "rektnet"])
+    ap.add_argument("--min-h", type=int, default=18,
+                    help="scene cone height range (default = the bench "
+                         "distribution; raise max-h toward the input size "
+                         "to train a detector that emits crop-window-"
+                         "violating boxes for the auto-degrade demo)")
+    ap.add_argument("--max-h", type=int, default=120)
+    ap.add_argument("--save-weights", type=str, default="",
+                    help="also export the trained params as a Darknet "
+                         ".weights file (serving/deployment input)")
     args = ap.parse_args()
     if args.family == "rektnet":
         return rektnet_main(args)
@@ -74,7 +83,8 @@ def main():
         yolo_train_step,
     )
 
-    scenes = dict(max_cones=8, min_h=18, max_h=120, max_overlap=0.1)
+    scenes = dict(max_cones=8, min_h=args.min_h, max_h=args.max_h,
+                  max_overlap=0.1)
     spec = flagship_spec(args.size)
     rng = np.random.default_rng(0)
 
@@ -127,6 +137,14 @@ def main():
     cal = jnp.asarray(np.asarray(pool_i[:8]))
     amax = calibrate(spec, folded, cal)
     q = quantize_params(spec, folded, amax)
+    if args.save_weights:
+        from mit_driverless_cv_traininginfra_tpu.models.darknet import (
+            save_darknet_weights,
+        )
+
+        save_darknet_weights(spec, ts.params, ts.model_state,
+                             args.save_weights)
+        print(f"weights -> {args.save_weights}", file=sys.stderr)
     del pool_i, pool_t, ts  # free HBM before the eval forwards
 
     ev_i, ev_t = yolo_batch(np.random.default_rng(999), args.eval_n,
