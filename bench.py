@@ -528,6 +528,21 @@ def main():
                 TwoStageServer,
             )
 
+            # free the breakdown/B=1 stages' device arrays before serving:
+            # `dets` alone is B×10647×85 f32 ≈ 460 MB, and at the larger
+            # crop capacities production-trained weights demand (672-768)
+            # the leftover HBM pressure showed up as multi-second remote
+            # allocator stalls INSIDE the timed serve window (measured:
+            # 15 s at the bucket switch with run2 weights; the same
+            # switch is 96 ms in a clean process — tools-probed). A
+            # deployed server process doesn't carry another program's
+            # working set; the bench shouldn't either.
+            import gc
+
+            del dets, boxes, scores, mask, key, sel, boxes_c, fidx, flat
+            del o, out0, out
+            gc.collect()
+
             cap = crop_cap[0]
             server = TwoStageServer(
                 spec, yolo_q=yolo_q, stem_q=stem_q, rekt_q=rekt_q,
