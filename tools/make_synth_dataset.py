@@ -73,9 +73,50 @@ def _write_split(csv_path: str, img_dir: str, prefix: str, n: int,
     return len(rows)
 
 
+def _write_rektnet_split(out_dir: str, train: int, val: int, rng,
+                         size_lo: int, size_hi: int, quality: int):
+    """Render cone crops at varying sizes; write JPEGs + rektnet_label.csv.
+
+    CSV layout matches the reference's rektnet_label.csv as parsed by
+    ``data/rektnet_data.py:load_train_csv_dataset`` (RektNet/utils.py:152-235):
+    col 0 = image name, col 1 = url, cols 2..8 = the 7 keypoint cells as
+    ``"(x,y)"`` strings in ORIGINAL-image pixel coordinates. The validation
+    split is chronological (FIRST ``validation_percent`` rows), so the
+    held-out rows are written FIRST; run cli.rektnet_train with
+    ``--validation_ratio val/(train+val)``.
+    """
+    from mit_driverless_cv_traininginfra_tpu.data.rektnet_data import (
+        DEFAULT_KEYPOINT_KEYS,
+    )
+    from mit_driverless_cv_traininginfra_tpu.data.synthetic import cone_crop
+
+    img_dir = os.path.join(out_dir, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    lines = ["image,url," + ",".join(DEFAULT_KEYPOINT_KEYS)]
+    for i in range(val + train):
+        # val rows first (chronological split); varying crop sizes exercise
+        # prep_image resize + scale_keypoints (ops/heatmap.py:26-68)
+        size = int(rng.integers(size_lo, size_hi + 1))
+        img, pts = cone_crop(rng, size=size)
+        # px coords; prep_label one-hots at int(px) so clip inside the image
+        px = np.clip(pts * size, 0, size - 1)
+        name = f"{'va' if i < val else 'tr'}_{i:05d}.jpg"
+        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
+            os.path.join(img_dir, name), quality=quality)
+        cells = ",".join(f'"({p[0]:.2f},{p[1]:.2f})"' for p in px)
+        lines.append(f"{name},local,{cells}")
+    csv_path = os.path.join(out_dir, "rektnet_label.csv")
+    with open(csv_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return csv_path
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--out", required=True)
+    ap.add_argument("--family", default="yolo", choices=["yolo", "rektnet"],
+                    help="rektnet: cone crops + rektnet_label.csv for "
+                         "cli.rektnet_train (the keypoint production entry)")
     ap.add_argument("--train", type=int, default=1000)
     ap.add_argument("--val", type=int, default=64)
     ap.add_argument("--size", type=int, default=640,
@@ -90,6 +131,21 @@ def main(argv=None) -> int:
     ap.add_argument("--scale-hi", type=float, default=1.2)
     ap.add_argument("--quality", type=int, default=95)
     args = ap.parse_args(argv)
+
+    if args.family == "rektnet":
+        t0 = time.perf_counter()
+        csv_path = _write_rektnet_split(
+            args.out, args.train, args.val, np.random.default_rng(args.seed),
+            size_lo=64, size_hi=160, quality=args.quality)
+        meta = {"family": "rektnet", "train": args.train, "val": args.val,
+                "validation_ratio": round(args.val / (args.train + args.val), 6),
+                "seed": args.seed, "quality": args.quality,
+                "render_s": round(time.perf_counter() - t0, 1)}
+        with open(os.path.join(args.out, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        print(json.dumps(meta))
+        print(f"csv: {csv_path}")
+        return 0
 
     img_dir = os.path.join(args.out, "images")
     os.makedirs(img_dir, exist_ok=True)
