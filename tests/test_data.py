@@ -335,3 +335,47 @@ def test_rektnet_loader_threaded_matches_serial(rektnet_dataset_dir):
         np.testing.assert_array_equal(s[0], t[0])
         np.testing.assert_array_equal(s[2], t[2])
         assert s[3] == t[3]
+
+
+def test_make_synth_dataset_rektnet_roundtrip(tmp_path):
+    """tools/make_synth_dataset.py --family rektnet output must round-trip
+    through the PRODUCTION loader (load_train_csv_dataset -> ConeDataset):
+    chronological val split honoured, and the decoded keypoints must match
+    the generator's ground truth within the reference's int/ceil label
+    quantization (scale_keypoints, ops/heatmap.py:63-68)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "make_synth_dataset",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "make_synth_dataset.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    out = str(tmp_path / "rk")
+    tool.main(["--family", "rektnet", "--out", out,
+               "--train", "9", "--val", "3", "--seed", "123"])
+    csv_path = os.path.join(out, "rektnet_label.csv")
+    ratio = 3.5 / 12  # floor(12 * ratio) == 3, the generator's va_ rows
+    ti, tl, vi, vl = load_train_csv_dataset(
+        csv_path, validation_percent=ratio,
+        dataset_path=os.path.join(out, "images"))
+    assert len(ti) == 9 and len(vi) == 3
+    assert all(str(n).startswith("va_") for n in vi)
+    assert all(str(n).startswith("tr_") for n in ti)
+
+    ds = ConeDataset(vi, vl, os.path.join(out, "images"), (80, 80))
+    img, hm, pts, _, orig = ds[0]
+    assert img.shape == (80, 80, 3) and img.dtype == np.float32
+    assert hm.shape == (7, 80, 80)
+    # each heatmap channel is a normalised distribution (prep_label)
+    np.testing.assert_allclose(hm.reshape(7, -1).sum(-1), 1.0, atol=1e-5)
+    # keypoints: CSV px coords -> int/ceil-scaled to 80 -> /80; the
+    # generator's truth is pts_norm in [0,1] of the ORIGINAL crop. The
+    # int() truncation + ceil() after scaling costs < 2px at 80.
+    row = vl[0]
+    h, w = orig[0], orig[1]
+    expect = np.stack([np.ceil(row[:, 0].astype(int) * (80.0 / w)),
+                       np.ceil(row[:, 1].astype(int) * (80.0 / h))], -1) / 80.0
+    np.testing.assert_allclose(pts, expect, atol=1e-6)
