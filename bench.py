@@ -560,10 +560,30 @@ def main():
                                   pad_sizes=[batch - 28])
             # event frames: a SHORT batch (zero-pad bucket) and a
             # higher-load scene set (more cones/frame -> the policy's p99
-            # want grows -> bucket switch, still compile-free)
+            # want grows -> bucket switch, still compile-free). Detection
+            # density is WEIGHT-dependent (2.75 det/frame cache weights vs
+            # 4.74 production run2), so escalate scene density until the
+            # grow condition is guaranteed under the weights actually
+            # benched — a fixed density crossed the bucket with production
+            # weights but missed it with the cache weights.
             short_frames = frames[: batch - 28]
-            shift_np, _ = yolo_batch(np.random.default_rng(7), batch,
-                                     size=416, max_cones=14)
+            # keep the candidate with the HIGHEST observed load: scene
+            # density and detection count are not monotone (a detector
+            # trained on <=8-cone scenes underfires on crowded 40-cone
+            # ones), and an under-base "shift" would inject a load DROP
+            shift_np = shift_cones = None
+            shift_batch_dets = -1.0
+            for mc in (14, 20, 28, 40):
+                cand, _ = yolo_batch(np.random.default_rng(7), batch,
+                                     size=416, max_cones=mc)
+                probe = run(jax.device_put(
+                    jnp.asarray(cand, compute_dtype), dev))
+                bd = float(np.asarray(probe.mask, np.float32).sum())
+                if bd > shift_batch_dets:
+                    shift_np, shift_cones, shift_batch_dets = cand, mc, bd
+                if bd * cap_margin >= cap + cap_quantum / 2:
+                    break
+            del probe
             shift_frames = jax.device_put(
                 jnp.asarray(shift_np, compute_dtype), dev)
             # fence the ~130 MB upload: it rides the device stream, and an
@@ -575,37 +595,65 @@ def main():
             # after warmup measures one queue drain, not the server
             # (PERF.md "Measurement discipline": the first cut of this
             # block read 134 fps that way)
-            sout = None
-            for _ in range(5):
-                sout = server(frames)
-            _sync(sout.keypoints, sout.scores)
-            s_iters, s_frames = 64, 0
-            cap_trace = set()
-            call_ms = []                       # per-call dispatch walls:
-            # deferred serving returns immediately, so a big value here is
-            # a STALL (hidden compile, host round-trip), not batch latency
-            ts = time.perf_counter()
-            for i in range(s_iters):
-                if i == 24:
-                    fr = short_frames          # pad-path event
-                elif 25 <= i < 41:
-                    fr = shift_frames          # load-shift event
-                else:
-                    fr = frames
-                c0 = time.perf_counter()
-                sout = server(fr)
-                call_ms.append((time.perf_counter() - c0) * 1e3)
-                s_frames += int(fr.shape[0])
-                cap_trace.add(server.current_capacity)
-            _sync(sout.keypoints, sout.scores)
-            sdt = time.perf_counter() - ts
+            s_iters = 64
+
+            def timed_window():
+                """One 64-call window with the pad + load-shift events.
+                Returns (wall_s, frames_served, capacity trace, per-call
+                dispatch walls). Deferred serving returns immediately, so
+                a big per-call wall is a STALL (hidden compile, host
+                round-trip, remote-server event), not batch latency."""
+                w = None
+                for _ in range(5):
+                    w = server(frames)
+                _sync(w.keypoints, w.scores)
+                trace, walls, served = set(), [], 0
+                t_w = time.perf_counter()
+                for i in range(s_iters):
+                    if i == 24:
+                        fr = short_frames      # pad-path event
+                    elif 25 <= i < 41:
+                        fr = shift_frames      # load-shift event
+                    else:
+                        fr = frames
+                    c0 = time.perf_counter()
+                    w = server(fr)
+                    walls.append((time.perf_counter() - c0) * 1e3)
+                    served += int(fr.shape[0])
+                    trace.add(server.current_capacity)
+                _sync(w.keypoints, w.scores)
+                return time.perf_counter() - t_w, served, trace, walls
+
+            sdt, s_frames, cap_trace, call_ms = timed_window()
+            # the axon remote server shows a rare multi-second dispatch
+            # stall unrelated to any client code path (PERF.md
+            # "Serve-window stall forensics": periodic ~25 min into the
+            # process, compiles==0, every local mechanism ruled out).
+            # When one lands inside the window, archive it and re-run the
+            # window ONCE so the per-round artifact measures the server,
+            # not the infra event — both windows' numbers are kept.
+            stall_retry = None
+            if max(call_ms) > 1500.0:
+                stall_retry = {
+                    "fps": round(s_frames / sdt, 2),
+                    "max_dispatch_stall_ms": round(max(call_ms), 1),
+                    "max_dispatch_stall_at": int(np.argmax(call_ms)),
+                    "bucket_switches": len(cap_trace) - 1,
+                }
+                sdt, s_frames, cap_trace, call_ms = timed_window()
             st = server.stats()
             assert st["compiles"] == 0, (
                 f"serving path compiled after warmup: {st}")
             assert st["batch_pads"] >= 1, f"pad path never ran: {st}"
             # fenced latency percentiles — the SLA numbers (VERDICT r4
             # #2b); the deferred-mode pipeline_wall_ms is archived too,
-            # labeled as pipeline depth, NOT latency
+            # labeled as pipeline depth, NOT latency. The bootstrap
+            # observation's fenced sample measures the warmup->serve
+            # TRANSITION (first post-warmup fence; the r5 "1.7 s outlier")
+            # — archive it under its own name and keep the percentile
+            # ring to pure steady-state measure_latency samples.
+            boot_ms = [ms for _, ms in server.latencies]
+            server.latencies.clear()
             server.measure_latency(frames, n=24)
             lat = server.latency_stats()
             out_json["serve"] = {
@@ -625,12 +673,18 @@ def main():
                 "pipeline_depth": lat["pipeline_depth"],
                 "max_dispatch_stall_ms": round(max(call_ms), 1),
                 "max_dispatch_stall_at": int(np.argmax(call_ms)),
-                # which fenced sample is the ring max: 0 = the bootstrap
-                # observation, 1.. = measure_latency calls — localizes a
-                # p99 outlier to the serving transition that caused it
+                # which steady-state fenced sample is the ring max —
+                # localizes a p99 outlier (bootstrap transition samples
+                # are archived separately as bootstrap_fenced_ms)
                 "fenced_max_at": int(np.argmax(
                     [ms for _, ms in server.latencies])),
                 "fenced_n": len(server.latencies),
+                "bootstrap_fenced_ms": (round(max(boot_ms), 1)
+                                        if boot_ms else None),
+                "shift_max_cones": shift_cones,
+                "shift_batch_dets": shift_batch_dets,
+                "window_retries": 0 if stall_retry is None else 1,
+                "stall_retry": stall_retry,
                 "crop_kernel_active": st["crop_kernel_active"],
             }
 
